@@ -1,0 +1,131 @@
+"""Backend-independent alignment API.
+
+Mirrors the reference's abstract optimizer interface — the central API of the
+whole library (CPhotoconsistencyOdometry.h:137-179: SetIntrinsicMatrix,
+SetSourceFrame, SetTargetFrame, SetInitialStateVector, Optimize,
+GetOptimalStateVector, GetOptimalRigidTransformationMatrix) plus
+ReadConfigurationFile / SetMinDepth / SetMaxDepth from the concrete backends.
+
+TPU-first split: the object API below is a thin host-side wrapper holding
+frames; the actual work is one jitted functional `align` per
+(backend, config, image shape), cached, that runs pyramids + all pyramid
+levels + all solver iterations as a single XLA program. Backend selection is
+a runtime string, not a compile-time #define
+(cf. PhotoconsistencyVisualOdometry.cpp:34-44).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phovo_tpu.ops import se3
+from phovo_tpu.ops.camera import Intrinsics
+from phovo_tpu.utils.config import PhovoConfig, load_config
+
+
+class AlignmentResult(NamedTuple):
+    """Output of one frame-pair alignment, with per-level diagnostics.
+
+    The structured diagnostics replace the reference's conditional stdout
+    prints (…Analytic.h:394-423) — returned from the jitted solver and
+    loggable host-side without recompilation.
+    """
+
+    state: jax.Array  # (6,) [x, y, z, yaw, pitch, roll]
+    iterations: jax.Array  # (L,) int32 per level (level 0 first)
+    gradient_norm: jax.Array  # (L,) final ||J^T r|| (GN) / inf-norm (LM)
+    cost: jax.Array  # (L,) final cost per level
+    num_valid: jax.Array  # (L,) valid-pixel count per level
+
+    def transform(self) -> jax.Array:
+        return se3.pose_matrix(self.state)
+
+
+def as_float_intensity(img) -> jnp.ndarray:
+    """u8 -> float32 * 1/255 (reference SetSourceFrame conversion,
+    …Analytic.h:470-471); float inputs pass through as float32."""
+    arr = jnp.asarray(img)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(jnp.float32) * (1.0 / 255.0)
+    return arr.astype(jnp.float32)
+
+
+class PhotoconsistencyOdometryBase:
+    """Host-side stateful wrapper over the functional aligners."""
+
+    def __init__(self, config: PhovoConfig | None = None):
+        self.config = config or PhovoConfig()
+        self.intrinsics: Intrinsics | None = None
+        self._source = None  # (intensity, depth) float32 device arrays
+        self._target = None
+        self._init_state = jnp.zeros(6, dtype=jnp.float32)
+        self._result: AlignmentResult | None = None
+
+    # -- reference API surface ------------------------------------------------
+    def read_configuration_file(self, path) -> None:
+        self.config = load_config(path)
+
+    def set_intrinsic_matrix(self, K) -> None:
+        self.intrinsics = Intrinsics.from_matrix(jnp.asarray(K, dtype=jnp.float32))
+
+    def set_min_depth(self, d: float) -> None:
+        import dataclasses
+
+        self.config = dataclasses.replace(self.config, min_depth=float(d))
+
+    def set_max_depth(self, d: float) -> None:
+        import dataclasses
+
+        self.config = dataclasses.replace(self.config, max_depth=float(d))
+
+    def set_source_frame(self, intensity, depth) -> None:
+        self._source = (as_float_intensity(intensity), jnp.asarray(depth, jnp.float32))
+
+    def set_target_frame(self, intensity, depth) -> None:
+        self._target = (as_float_intensity(intensity), jnp.asarray(depth, jnp.float32))
+
+    def set_initial_state_vector(self, state) -> None:
+        self._init_state = jnp.asarray(state, dtype=jnp.float32)
+
+    def optimize(self) -> AlignmentResult:
+        if self.intrinsics is None:
+            raise RuntimeError("set_intrinsic_matrix must be called before optimize")
+        if self._source is None or self._target is None:
+            raise RuntimeError("source and target frames must be set before optimize")
+        self._result = self.align(
+            self._source[0],
+            self._source[1],
+            self._target[0],
+            self._target[1],
+            self.intrinsics,
+            self._init_state,
+        )
+        return self._result
+
+    def get_optimal_state_vector(self) -> jax.Array:
+        self._require_result()
+        return self._result.state
+
+    def get_optimal_rigid_transformation_matrix(self) -> jax.Array:
+        self._require_result()
+        return se3.pose_matrix(self._result.state)
+
+    def _require_result(self):
+        if self._result is None:
+            raise RuntimeError("optimize() has not been called")
+
+    # -- functional core (implemented by backends) ----------------------------
+    def align(
+        self,
+        source_intensity: jax.Array,
+        source_depth: jax.Array,
+        target_intensity: jax.Array,
+        target_depth: jax.Array,
+        intr: Intrinsics,
+        init_state: jax.Array,
+    ) -> AlignmentResult:
+        raise NotImplementedError

@@ -1,0 +1,97 @@
+"""Bi-objective (intensity + depth) Gauss-Newton backend.
+
+Re-design of phovo::Analytic::CPhotoconsistencyOdometryBiObjective
+(CPhotoconsistencyOdometryBiObjective.h:57-698): joint photometric and depth
+residuals with separated rigid/projection Jacobians. The depth channel is
+weighted by gain = mean(I1)/mean(D1) (…BiObjective.h:299) recomputed per
+level from the (fixed) target pyramids.
+
+Deliberate divergences (see ops/residuals.py module docstring):
+  - corrected 2N residual stacking: the reference interleaves intensity rows
+    at index i and depth rows at index 2i, overlapping for even i so depth
+    rows overwrite half the intensity rows (…BiObjective.h:420-442); here the
+    two channels are disjoint planes of a (2, H, W) field;
+  - the depth residual pairs D1(warped) with the transformed source depth,
+    consistent with its own Jacobian's -Rt_z term.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.ops import pyramid as pyr
+from phovo_tpu.ops.camera import Intrinsics
+from phovo_tpu.ops.residuals import biobjective_residual_jacobian, normal_equations
+from phovo_tpu.solvers.gauss_newton import gauss_newton_level
+from phovo_tpu.utils.config import PhovoConfig
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def align_biobjective(
+    source_intensity: jax.Array,
+    source_depth: jax.Array,
+    target_intensity: jax.Array,
+    target_depth: jax.Array,
+    intr: Intrinsics,
+    init_state: jax.Array,
+    config: PhovoConfig,
+) -> AlignmentResult:
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    scales = tuple(config.gradient_scales)
+    int0 = pyr.build_pyramid(source_intensity, L, blur)
+    dep0 = pyr.build_pyramid(source_depth, L, None)
+    int1 = pyr.build_pyramid(target_intensity, L, blur)
+    dep1 = pyr.build_pyramid(target_depth, L, None)
+    gx1, gy1 = pyr.build_gradient_pyramid(int1, scales)
+    # Depth gradients are taken on depth normalized by 1/max_depth
+    # (…BiObjective.h:227-228) — same magnitude convention kept here.
+    dep1_norm = [d * (1.0 / config.max_depth) for d in dep1]
+    dgx1, dgy1 = pyr.build_gradient_pyramid(dep1_norm, scales)
+
+    state = jnp.asarray(init_state, jnp.float32)
+    diags = [None] * L
+    for level in range(L - 1, -1, -1):
+        intr_l = intr.at_level(level)
+        gain = jnp.mean(int1[level]) / jnp.mean(dep1[level])
+
+        def linearize(s, _lvl=level, _gain=gain):
+            r, J, valid = biobjective_residual_jacobian(
+                int0[_lvl], dep0[_lvl], int1[_lvl], dep1[_lvl],
+                gx1[_lvl], gy1[_lvl], dgx1[_lvl], dgy1[_lvl],
+                s, intr_l,
+                min_depth=config.min_depth, max_depth=config.max_depth,
+                sampling=config.sampling, gradient_at=config.gradient_at,
+                depth_gain=_gain,
+            )
+            return normal_equations(r, J, valid)
+
+        res = gauss_newton_level(
+            linearize,
+            state,
+            max_iterations=config.max_iterations[level],
+            min_gradient_norm=config.min_gradient_norms[level],
+            lambda_step=config.lambda_steps[level],
+        )
+        state = res.state
+        diags[level] = res
+
+    return AlignmentResult(
+        state=state,
+        iterations=jnp.stack([d.iterations for d in diags]),
+        gradient_norm=jnp.stack([d.gradient_norm for d in diags]),
+        cost=jnp.stack([d.cost for d in diags]),
+        num_valid=jnp.stack([d.num_valid for d in diags]),
+    )
+
+
+class PhotoconsistencyOdometryBiObjective(PhotoconsistencyOdometryBase):
+    """Object API over `align_biobjective` (reference class:
+    CPhotoconsistencyOdometryBiObjective, …BiObjective.h:57)."""
+
+    def align(self, si, sd, ti, td, intr, init_state) -> AlignmentResult:
+        return align_biobjective(si, sd, ti, td, intr, init_state, self.config)

@@ -1,0 +1,209 @@
+"""Image pyramids, Gaussian blur, and Scharr gradients as MXU matmuls.
+
+Reference behavior being matched (not translated):
+  - BuildPyramid (CPhotoconsistencyOdometryAnalytic.h:115-163): level k is the
+    ORIGINAL image resized by factor 1/2^k with cv::resize INTER_LINEAR, then
+    (intensity only) blurred TWICE with cv::GaussianBlur(ksize=blurFilterSize,
+    sigma=3) when blurFilterSize > 0.
+  - BuildDerivativesPyramids (…Analytic.h:165-189): per level, cv::Scharr
+    d/dx and d/dy with per-level scale factor, BORDER_REFLECT_101.
+  - Depth-gradient pyramids (…BiObjective.h:213-239): depth normalized by
+    1/maxDepth before Scharr.
+
+TPU-first design: every one of these linear operations is expressed as a pair
+of small banded matrices applied as  A_rows @ image @ A_cols^T.  The matrices
+are built once per (shape, params) on the host (numpy), cached, and closed
+over by the jitted function, so the whole pyramid build compiles to a chain of
+MXU matmuls — no gathers, no dynamic shapes. Bilinear resize, reflect-101
+borders, and Scharr taps are all exactly representable this way, so results
+match OpenCV to float tolerance (verified in tests/test_pyramid.py against
+cv2 itself).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "resize_matrix",
+    "gaussian_matrix",
+    "scharr_matrices",
+    "resize_bilinear",
+    "gaussian_blur",
+    "scharr",
+    "level_shape",
+    "build_pyramid",
+    "build_gradient_pyramid",
+]
+
+
+def level_shape(shape: tuple[int, int], level: int) -> tuple[int, int]:
+    """Output (H, W) of cv::resize(src, Size(0,0), f, f) with f = 1/2^level.
+
+    OpenCV computes dsize = Size(round(fx*cols), round(fy*rows)) with
+    round-half-away-from-zero (cvRound on a positive .5 product of exact
+    binary fractions is exact in practice for our sizes).
+    """
+    f = 1.0 / (2.0**level)
+    return (int(round(shape[0] * f)), int(round(shape[1] * f)))
+
+
+@functools.lru_cache(maxsize=None)
+def resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear-interpolation operator along one axis.
+
+    Uses OpenCV INTER_LINEAR coordinate convention:
+        src = (dst + 0.5) * (n_in / n_out) - 0.5
+    with edge clamping. Two nonzeros per row.
+    """
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    scale = n_in / n_out
+    for d in range(n_out):
+        s = (d + 0.5) * scale - 0.5
+        s0 = math.floor(s)
+        w1 = s - s0
+        i0 = min(max(s0, 0), n_in - 1)
+        i1 = min(max(s0 + 1, 0), n_in - 1)
+        A[d, i0] += 1.0 - w1
+        A[d, i1] += w1
+    return A
+
+
+def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    """cv::getGaussianKernel: exp(-(i-c)^2 / (2 sigma^2)), normalized."""
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    c = (ksize - 1) * 0.5
+    i = np.arange(ksize, dtype=np.float64)
+    k = np.exp(-((i - c) ** 2) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _border_conv_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
+    """(n, n) operator: 1-D correlation with `kernel`, BORDER_REFLECT_101.
+
+    reflect_101 index map: -1 -> 1, -2 -> 2, n -> n-2, ... (no edge repeat),
+    matching OpenCV's default border for GaussianBlur/Scharr.
+    """
+    ksize = len(kernel)
+    half = ksize // 2
+    A = np.zeros((n, n), dtype=np.float32)
+    for r in range(n):
+        for j in range(ksize):
+            src = r + j - half
+            # reflect-101
+            while src < 0 or src >= n:
+                if src < 0:
+                    src = -src
+                if src >= n:
+                    src = 2 * (n - 1) - src
+            A[r, src] += kernel[j]
+    return A
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_matrix(n: int, ksize: int, sigma: float = 3.0) -> np.ndarray:
+    return _border_conv_matrix(n, _gaussian_kernel_1d(ksize, sigma))
+
+
+@functools.lru_cache(maxsize=None)
+def scharr_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(deriv, smooth) (n, n) operators for the Scharr filter.
+
+    cv::Scharr(dx=1): separable [-1,0,1] (derivative axis) x [3,10,3]
+    (smoothing axis). Caller applies per-level scale.
+    """
+    deriv = _border_conv_matrix(n, np.array([-1.0, 0.0, 1.0], dtype=np.float32))
+    smooth = _border_conv_matrix(n, np.array([3.0, 10.0, 3.0], dtype=np.float32))
+    return deriv, smooth
+
+
+# ---------------------------------------------------------------------------
+# jit-friendly functional ops (operators closed over as constants)
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(img: jax.Array, out_shape: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of (..., H, W) to (..., H', W') via two matmuls."""
+    H, W = img.shape[-2:]
+    Ho, Wo = out_shape
+    if (H, W) == (Ho, Wo):
+        return img
+    Ar = jnp.asarray(resize_matrix(H, Ho))
+    Ac = jnp.asarray(resize_matrix(W, Wo))
+    return jnp.einsum(
+        "ij,...jk,lk->...il", Ar, img, Ac, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def gaussian_blur(img: jax.Array, ksize: int, sigma: float = 3.0) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 borders (one pass)."""
+    if ksize <= 0:
+        return img
+    H, W = img.shape[-2:]
+    Gr = jnp.asarray(gaussian_matrix(H, ksize, sigma))
+    Gc = jnp.asarray(gaussian_matrix(W, ksize, sigma))
+    return jnp.einsum(
+        "ij,...jk,lk->...il", Gr, img, Gc, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def scharr(img: jax.Array, axis: str, scale: float = 1.0) -> jax.Array:
+    """Scharr gradient of (..., H, W). axis='x' for d/dcol, 'y' for d/drow."""
+    H, W = img.shape[-2:]
+    deriv_r, smooth_r = scharr_matrices(H)
+    deriv_c, smooth_c = scharr_matrices(W)
+    if axis == "x":
+        Ar, Ac = jnp.asarray(smooth_r), jnp.asarray(deriv_c)
+    elif axis == "y":
+        Ar, Ac = jnp.asarray(deriv_r), jnp.asarray(smooth_c)
+    else:
+        raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
+    out = jnp.einsum(
+        "ij,...jk,lk->...il", Ar, img, Ac, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
+    )
+    return out * jnp.asarray(scale, dtype=out.dtype)
+
+
+def build_pyramid(
+    img: jax.Array,
+    num_levels: int,
+    blur_filter_sizes: tuple[int, ...] | None = None,
+    blur_sigma: float = 3.0,
+) -> list[jax.Array]:
+    """List of per-level images, level 0 = full resolution.
+
+    Each level is resized from the ORIGINAL image (reference semantics,
+    CPhotoconsistencyOdometryAnalytic.h:125-161: factor = 1/2^level applied
+    to `img`, not to the previous level), then blurred twice when a positive
+    blur size is configured for that level.
+    """
+    base_shape = img.shape[-2:]
+    pyramid = []
+    for level in range(num_levels):
+        lvl = resize_bilinear(img, level_shape(base_shape, level))
+        if blur_filter_sizes is not None:
+            k = int(blur_filter_sizes[level])
+            if k > 0:
+                lvl = gaussian_blur(lvl, k, blur_sigma)
+                lvl = gaussian_blur(lvl, k, blur_sigma)
+        pyramid.append(lvl)
+    return pyramid
+
+
+def build_gradient_pyramid(
+    pyramid: list[jax.Array],
+    scales: tuple[float, ...],
+) -> tuple[list[jax.Array], list[jax.Array]]:
+    """Per-level (d/dx, d/dy) Scharr gradients with per-level scaling."""
+    gx = [scharr(img, "x", scales[i]) for i, img in enumerate(pyramid)]
+    gy = [scharr(img, "y", scales[i]) for i, img in enumerate(pyramid)]
+    return gx, gy

@@ -1,0 +1,82 @@
+"""Lambda-damped Gauss-Newton with the reference termination criteria.
+
+Reference loop being re-designed: CPhotoconsistencyOdometryAnalytic.h:499-563
+(per level: g = J^T r; x <- x - lambda * (J^T J)^{-1} g; stop on iteration
+count >= max_num_iterations[level] or ||g|| < min_gradient_norm[level],
+…Analytic.h:376-426). Here the loop is a lax.while_loop so a whole
+multi-level Optimize jits into a single XLA program with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from phovo_tpu.ops.residuals import NormalEquations
+
+
+class GNLevelResult(NamedTuple):
+    state: jax.Array  # (6,) final state for this level
+    iterations: jax.Array  # int32: number of GN updates performed
+    gradient_norm: jax.Array  # ||J^T r|| at the last performed update
+    cost: jax.Array  # sum of squared residuals at the last linearization
+    num_valid: jax.Array  # valid-pixel count at the last linearization
+
+
+def _solve_step(JtJ: jax.Array, g: jax.Array, damping: float) -> jax.Array:
+    """(JtJ + damping I)^{-1} g with a non-finite guard (the reference inverts
+    blindly, …Analytic.h:540; a singular system there silently produces NaNs
+    that propagate — here a NaN/Inf step degrades to zero so the solver
+    freezes instead of diverging)."""
+    A = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype)
+    step = jnp.linalg.solve(A, g)
+    ok = jnp.all(jnp.isfinite(step))
+    return jnp.where(ok, step, jnp.zeros_like(step))
+
+
+def gauss_newton_level(
+    linearize: Callable[[jax.Array], NormalEquations],
+    init_state: jax.Array,
+    max_iterations: int,
+    min_gradient_norm: float,
+    lambda_step: float = 1.0,
+    damping: float = 0.0,
+) -> GNLevelResult:
+    """Run Gauss-Newton at one pyramid level.
+
+    linearize(state) -> NormalEquations for the level's image data (closed
+    over by the caller; static shapes per level so each level compiles once).
+
+    Semantics match the reference: an update is performed, then the gradient
+    norm of THAT linearization gates the next iteration; max_iterations == 0
+    leaves the state untouched (skipped level,
+    …Analytic.h:526 / config_only_level_k presets).
+    """
+    init_state = jnp.asarray(init_state, dtype=jnp.float32)
+    if max_iterations <= 0:
+        zero = jnp.float32(0.0)
+        return GNLevelResult(init_state, jnp.int32(0), zero, zero, zero)
+
+    def cond(carry):
+        _, it, gnorm, _, _ = carry
+        return (it < max_iterations) & (gnorm >= min_gradient_norm)
+
+    def body(carry):
+        state, it, _, _, _ = carry
+        ne = linearize(state)
+        step = _solve_step(ne.JtJ, ne.Jtr, damping)
+        new_state = state - lambda_step * step
+        gnorm = jnp.linalg.norm(ne.Jtr)
+        return (new_state, it + 1, gnorm, ne.cost, ne.num_valid)
+
+    init = (
+        init_state,
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    state, it, gnorm, cost, nvalid = jax.lax.while_loop(cond, body, init)
+    return GNLevelResult(state, it, gnorm, cost, nvalid)

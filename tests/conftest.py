@@ -1,0 +1,42 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so sharding/collective paths are
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path; bench.py runs on the real chip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: the alignment graphs (multi-level pyramids +
+# while_loop solvers) are expensive to compile on the CPU backend; caching
+# makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from phovo_tpu.ops.camera import Intrinsics  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def intr():
+    return Intrinsics(
+        np.float32(128.0), np.float32(128.0), np.float32(63.5), np.float32(47.5)
+    )
+
+
+@pytest.fixture(scope="session")
+def small_pair(intr):
+    """(I0, D0, I1, D1, gt_state) at 96x128 — fast but non-trivial."""
+    from phovo_tpu.utils.synthetic import make_pair
+
+    return make_pair(intr, shape=(96, 128))
