@@ -130,13 +130,40 @@ def load_config(path: str | Path) -> PhovoConfig:
     return config_from_dict(data)
 
 
+# element type for native-schema fields (PyYAML leaves '1e-9'-style floats
+# as strings — YAML 1.1 requires a dot in the mantissa — so coerce explicitly)
+_FIELD_TYPES = {
+    "num_levels": int,
+    "blur_filter_sizes": int,
+    "gradient_scales": float,
+    "max_iterations": int,
+    "visualize_iterations": bool,
+    "min_depth": float,
+    "max_depth": float,
+    "lambda_steps": float,
+    "min_gradient_norms": float,
+    "function_tolerances": float,
+    "gradient_tolerances": float,
+    "parameter_tolerances": float,
+    "initial_trust_region_radii": float,
+    "max_trust_region_radii": float,
+    "min_trust_region_radii": float,
+    "min_relative_decreases": float,
+    "num_threads": int,
+    "num_linear_solver_threads": int,
+    "progress_to_stdout": bool,
+    "sampling": None,
+    "gradient_at": None,
+}
+
+
 def config_from_dict(data: dict) -> PhovoConfig:
     kwargs: dict = {}
     for key, value in data.items():
         if key in _KEYMAP:
             field, elem = _KEYMAP[key]
-        elif key in {f.name for f in dataclasses.fields(PhovoConfig)}:
-            field, elem = key, None
+        elif key in _FIELD_TYPES:
+            field, elem = key, _FIELD_TYPES[key]
         else:
             continue  # unknown keys ignored, like cv::FileStorage lookups
         if isinstance(value, (list, tuple)):

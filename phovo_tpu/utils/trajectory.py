@@ -1,0 +1,173 @@
+"""Trajectory I/O and evaluation (TUM format, ATE/RPE).
+
+The reference writes 'timestamp tx ty tz qx qy qz qw' lines
+(PhotoconsistencyVisualOdometry.cpp:187-188,240-243) and relies on the
+external TUM tools for evaluation; this module brings the evaluation
+in-tree: absolute trajectory error (Horn/Umeyama alignment + RMSE) and
+relative pose error, matching the semantics of the standard TUM
+evaluate_ate.py / evaluate_rpe.py scripts.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import NamedTuple
+
+import numpy as np
+
+from phovo_tpu.ops import se3
+
+
+class Trajectory(NamedTuple):
+    timestamps: np.ndarray  # (N,)
+    positions: np.ndarray  # (N, 3)
+    quaternions: np.ndarray  # (N, 4) [qx, qy, qz, qw]
+
+    def __len__(self) -> int:
+        return len(self.timestamps)
+
+    def pose_matrix(self, i: int) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(se3.quaternion_to_rotation(self.quaternions[i]))
+        T[:3, 3] = self.positions[i]
+        return T
+
+
+def format_pose_line(timestamp: float, T: np.ndarray) -> str:
+    """One TUM trajectory line from a 4x4 pose (16-significant-digit
+    timestamps like the reference's setprecision(digits10+1))."""
+    q = np.asarray(se3.rotation_to_quaternion(np.asarray(T[:3, :3], dtype=np.float64)))
+    t = T[:3, 3]
+    return (
+        f"{timestamp:.16g} {t[0]:.9g} {t[1]:.9g} {t[2]:.9g} "
+        f"{q[0]:.9g} {q[1]:.9g} {q[2]:.9g} {q[3]:.9g}"
+    )
+
+
+class TrajectoryWriter:
+    """Streams TUM-format lines (crash keeps poses up to the crash, like the
+    reference's line-per-frame flush)."""
+
+    def __init__(self, path: str | Path):
+        self._f = open(path, "w")
+        self._f.write("# estimated trajectory\n")
+        self._f.write("# timestamp tx ty tz qx qy qz qw\n")
+
+    def write(self, timestamp: float, T: np.ndarray) -> None:
+        self._f.write(format_pose_line(timestamp, T) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_trajectory(path: str | Path) -> Trajectory:
+    ts, pos, quat = [], [], []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        v = [float(x) for x in line.split()]
+        if len(v) < 8:
+            continue
+        ts.append(v[0])
+        pos.append(v[1:4])
+        quat.append(v[4:8])
+    return Trajectory(np.asarray(ts), np.asarray(pos), np.asarray(quat))
+
+
+def associate_timestamps(
+    ta: np.ndarray, tb: np.ndarray, max_dt: float = 0.02
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy nearest-neighbor timestamp matching; returns index arrays."""
+    cands = []
+    for i, t in enumerate(ta):
+        j = int(np.argmin(np.abs(tb - t)))
+        dt = abs(tb[j] - t)
+        if dt <= max_dt:
+            cands.append((dt, i, j))
+    cands.sort()
+    used_a, used_b = set(), set()
+    ia, ib = [], []
+    for _, i, j in cands:
+        if i not in used_a and j not in used_b:
+            used_a.add(i)
+            used_b.add(j)
+            ia.append(i)
+            ib.append(j)
+    order = np.argsort(ia)
+    return np.asarray(ia)[order], np.asarray(ib)[order]
+
+
+def horn_align(model: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form rigid alignment (Horn 1987, as in TUM evaluate_ate.py):
+    returns (R, t) minimizing ||R @ model + t - data||. No scale."""
+    mu_m = model.mean(axis=0)
+    mu_d = data.mean(axis=0)
+    Mc = model - mu_m
+    Dc = data - mu_d
+    W = Mc.T @ Dc
+    U, _, Vt = np.linalg.svd(W)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = Vt.T @ S @ U.T
+    t = mu_d - R @ mu_m
+    return R, t
+
+
+def absolute_trajectory_error(
+    estimated: Trajectory, ground_truth: Trajectory, max_dt: float = 0.02
+) -> dict:
+    """ATE RMSE after timestamp association + Horn alignment (TUM
+    evaluate_ate semantics)."""
+    ie, ig = associate_timestamps(estimated.timestamps, ground_truth.timestamps, max_dt)
+    if len(ie) < 2:
+        raise ValueError("fewer than 2 associated poses between trajectories")
+    P = estimated.positions[ie]
+    Q = ground_truth.positions[ig]
+    R, t = horn_align(P, Q)
+    err = (P @ R.T + t) - Q
+    norms = np.linalg.norm(err, axis=1)
+    return {
+        "rmse": float(np.sqrt(np.mean(norms**2))),
+        "mean": float(norms.mean()),
+        "median": float(np.median(norms)),
+        "std": float(norms.std()),
+        "min": float(norms.min()),
+        "max": float(norms.max()),
+        "num_pairs": int(len(ie)),
+    }
+
+
+def relative_pose_error(
+    estimated: Trajectory, ground_truth: Trajectory, delta: int = 1, max_dt: float = 0.02
+) -> dict:
+    """RPE over fixed frame-index delta (translational and rotational),
+    following TUM evaluate_rpe semantics."""
+    ie, ig = associate_timestamps(estimated.timestamps, ground_truth.timestamps, max_dt)
+    if len(ie) < delta + 1:
+        raise ValueError("not enough associated poses for requested delta")
+    trans_err, rot_err = [], []
+    for k in range(len(ie) - delta):
+        Ee = np.linalg.inv(estimated.pose_matrix(ie[k])) @ estimated.pose_matrix(ie[k + delta])
+        Eg = np.linalg.inv(ground_truth.pose_matrix(ig[k])) @ ground_truth.pose_matrix(
+            ig[k + delta]
+        )
+        E = np.linalg.inv(Eg) @ Ee
+        trans_err.append(np.linalg.norm(E[:3, 3]))
+        angle = np.arccos(np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1))
+        rot_err.append(angle)
+    trans_err = np.asarray(trans_err)
+    rot_err = np.asarray(rot_err)
+    return {
+        "trans_rmse": float(np.sqrt(np.mean(trans_err**2))),
+        "rot_rmse_deg": float(np.degrees(np.sqrt(np.mean(rot_err**2)))),
+        "num_pairs": int(len(trans_err)),
+    }
