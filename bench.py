@@ -1,0 +1,108 @@
+"""Headline benchmark: RGB-D frame-alignment throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: full multi-level analytic alignment (pyramids + Scharr + coarse-to
+-fine Gauss-Newton) of a synthetic 640x480 RGB-D pair using the 5-level
+schedule of the reference preset (iterations [0,0,5,20,50], i.e. 75 GN
+iterations across levels when the gradient-norm criterion never fires — we
+pin min_gradient_norm to 0 so every run does identical work).
+
+vs_baseline compares against the reference's CPU implementation measured by
+native/baseline_bench (a faithful C++ -O3 re-execution of the analytic
+backend's math — the reference publishes no numbers, SURVEY §6); the
+measured figure is cached in native/baseline_cpu.json.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_JSON = REPO / "native" / "baseline_cpu.json"
+# measured on this container's CPU via native/baseline_bench (see
+# native/README.md); used if the cached json is absent
+FALLBACK_BASELINE_FPS = None
+
+H, W = 480, 640
+REPEATS = 20
+
+
+def _bench_config():
+    from phovo_tpu.utils.config import PhovoConfig
+
+    return PhovoConfig(
+        num_levels=5,
+        blur_filter_sizes=(0, 0, 0, 0, 0),
+        gradient_scales=(0.0625,) * 5,
+        max_iterations=(0, 0, 5, 20, 50),
+        lambda_steps=(1.0,) * 5,
+        min_gradient_norms=(0.0,) * 5,  # never fire: fixed work per align
+        sampling="nearest",
+    )
+
+
+def reference_cpu_fps() -> float | None:
+    if BASELINE_JSON.is_file():
+        try:
+            return float(json.loads(BASELINE_JSON.read_text())["frames_per_second"])
+        except Exception:
+            pass
+    return FALLBACK_BASELINE_FPS
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from phovo_tpu.models.analytic import align_analytic
+    from phovo_tpu.ops.camera import TUM_FR1
+    from phovo_tpu.utils.synthetic import make_pair
+
+    cfg = _bench_config()
+    I0, D0, I1, D1, _ = make_pair(TUM_FR1, shape=(H, W))
+    args = (
+        jnp.asarray(I0), jnp.asarray(D0), jnp.asarray(I1), jnp.asarray(D1),
+        TUM_FR1, jnp.zeros(6, jnp.float32),
+    )
+
+    # warmup / compile
+    res = align_analytic(*args, cfg)
+    jax.block_until_ready(res.state)
+    res = align_analytic(*args, cfg)
+    jax.block_until_ready(res.state)
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        res = align_analytic(*args, cfg)
+    jax.block_until_ready(res.state)
+    dt = (time.perf_counter() - t0) / REPEATS
+
+    fps = 1.0 / dt
+    base = reference_cpu_fps()
+    vs = (fps / base) if base else None
+    print(
+        json.dumps(
+            {
+                "metric": "frame_alignment_throughput",
+                "value": round(fps, 3),
+                "unit": "frames/s (640x480, 5-level, 75 GN iters)",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

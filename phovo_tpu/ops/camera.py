@@ -71,16 +71,19 @@ NAMED_INTRINSICS = {
 }
 
 
-def backproject(depth: jax.Array, intr: Intrinsics) -> jax.Array:
+def backproject(depth: jax.Array, intr: Intrinsics, row_offset=0.0) -> jax.Array:
     """Depth image (H, W) -> camera-frame points (H, W, 3).
 
     x = (c - cx) z / fx, y = (r - cy) z / fy (reference convention,
     CPhotoconsistencyOdometry.h:109-113: columns are x, rows are y).
+    row_offset: global row index of local row 0 — nonzero when the image is
+    row-sharded across devices (parallel/sharded_ne.py).
     """
     H, W = depth.shape[-2:]
     c = jnp.arange(W, dtype=depth.dtype)
     r = jnp.arange(H, dtype=depth.dtype)
     cc, rr = jnp.meshgrid(c, r)
+    rr = rr + row_offset
     x = (cc - intr.cx) * depth / intr.fx
     y = (rr - intr.cy) * depth / intr.fy
     return jnp.stack([x, y, depth], axis=-1)

@@ -93,14 +93,16 @@ def warp_and_jacobian(
     intr: Intrinsics,
     min_depth: float,
     max_depth: float,
+    row_offset=0.0,
 ):
     """Shared geometry for all residual kernels.
 
     Returns (col, row, tp, J_pix, valid_src) where J_pix is the (..., 2, 6)
     Jacobian of the projected pixel coordinates w.r.t. the state.
+    row_offset: see ops/camera.py backproject (row-sharded execution).
     """
     T = se3.pose_matrix(state)
-    pts = backproject(source_depth, intr)
+    pts = backproject(source_depth, intr, row_offset)
     tp = transform_points(pts, T)
     tz = tp[..., 2]
     safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
@@ -128,6 +130,7 @@ def photometric_residual_jacobian(
     max_depth: float = 5.0,
     sampling: str = "nearest",
     gradient_at: str = "warped",
+    row_offset=0.0,
 ):
     """Photometric residual field + analytic Jacobian rows.
 
@@ -141,7 +144,7 @@ def photometric_residual_jacobian(
         (…Analytic.h:346-347).
     """
     col, row, _, J_pix, valid_src = warp_and_jacobian(
-        source_depth, state, intr, min_depth, max_depth
+        source_depth, state, intr, min_depth, max_depth, row_offset
     )
     sample = sample_bilinear if sampling == "bilinear" else sample_nearest
     tgt_val, inb = sample(target_intensity, col, row)

@@ -1,0 +1,215 @@
+"""Distributed pose-graph optimization (net-new; SURVEY §5/§7).
+
+The reference integrates pose chain-style with no global optimization
+(PhotoconsistencyVisualOdometry.cpp:233-234), so drift is unbounded. This
+module adds the standard back-end: keyframe poses optimized against
+relative-pose constraints (odometry edges + loop closures) with
+Gauss-Newton, constraints SHARDED over the device mesh.
+
+Decomposition: each device holds a shard of constraints; it computes its
+residuals and the dense (6M x 6M is never formed — we use per-constraint
+6x6 blocks) contributions J_k^T J_k and J_k^T r_k, accumulated into block
+structure with segment-sums, then psum-merged across devices. The block
+system is solved with a damped dense solve on the replicated result (fine up
+to hundreds of keyframes; block-sparse Schur elimination is the follow-up
+for map-scale problems).
+
+Parameterization: each pose is the same [x,y,z,yaw,pitch,roll] vector the
+front-end estimates; constraint (i, j, z_ij) says pose_matrix(z_ij) should
+equal T_i^{-1} T_j (measured j-in-i transform, the front-end's Rt^{-1}
+convention folded in by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from phovo_tpu.ops import se3
+
+
+class PoseGraph(NamedTuple):
+    states: jax.Array  # (M, 6) current pose estimates (world <- keyframe)
+    edges_i: jax.Array  # (K,) int32 source keyframe index
+    edges_j: jax.Array  # (K,) int32 target keyframe index
+    measurements: jax.Array  # (K, 6) measured state of T_i^{-1} T_j
+    weights: jax.Array  # (K,) scalar information weight per edge
+
+
+def edge_residual(si: jax.Array, sj: jax.Array, z: jax.Array) -> jax.Array:
+    """6-vector error of one constraint: state of Z^{-1} (T_i^{-1} T_j)."""
+    Ti = se3.pose_matrix(si)
+    Tj = se3.pose_matrix(sj)
+    Z = se3.pose_matrix(z)
+    E = se3.inverse(Z) @ (se3.inverse(Ti) @ Tj)
+    return se3.matrix_to_state(E)
+
+
+def _edge_residual_and_jacobians(si, sj, z, w):
+    """Residual + d/dsi, d/dsj via forward-mode (12 tangents, tiny)."""
+    r = edge_residual(si, sj, z)
+    Ji = jax.jacfwd(lambda s: edge_residual(s, sj, z))(si)
+    Jj = jax.jacfwd(lambda s: edge_residual(si, s, z))(sj)
+    sw = jnp.sqrt(w)
+    return r * sw, Ji * sw, Jj * sw
+
+
+def _accumulate_shard(states, ei, ej, z, w, M, vma_axes=()):
+    """Block-structured J^T J and J^T r for one shard of edges.
+
+    Returns H (M, M, 6, 6) block matrix and g (M, 6). Edges marked with
+    i == -1 (padding) contribute zero.
+    """
+
+    def per_edge(carry, edge):
+        H, g = carry
+        i, j, zk, wk = edge
+        i = i.astype(jnp.int32)
+        j = j.astype(jnp.int32)
+        valid = i >= 0
+        iw = jnp.where(valid, i, 0)
+        jw = jnp.where(valid, j, 0)
+        r, Ji, Jj = _edge_residual_and_jacobians(states[iw], states[jw], zk, wk)
+        zero = jnp.where(valid, 1.0, 0.0)
+        r, Ji, Jj = r * zero, Ji * zero, Jj * zero
+        H = H.at[iw, iw].add(Ji.T @ Ji)
+        H = H.at[iw, jw].add(Ji.T @ Jj)
+        H = H.at[jw, iw].add(Jj.T @ Ji)
+        H = H.at[jw, jw].add(Jj.T @ Jj)
+        g = g.at[iw].add(Ji.T @ r)
+        g = g.at[jw].add(Jj.T @ r)
+        return (H, g), r @ r
+
+    H0 = jnp.zeros((M, M, 6, 6), jnp.float32)
+    g0 = jnp.zeros((M, 6), jnp.float32)
+    if vma_axes:
+        # Under shard_map the scanned edge arrays vary per device, so the
+        # carry must be marked device-varying too (JAX vma typing rule).
+        H0 = jax.lax.pcast(H0, vma_axes, to="varying")
+        g0 = jax.lax.pcast(g0, vma_axes, to="varying")
+    (H, g), costs = jax.lax.scan(
+        per_edge, (H0, g0), (ei, ej, z, w)
+    )
+    return H, g, jnp.sum(costs)
+
+
+def optimize_pose_graph(
+    graph: PoseGraph,
+    mesh: Mesh | None = None,
+    axis: str | None = None,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    fixed_first: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Gauss-Newton over all keyframe poses. Returns (states, final_cost).
+
+    With a mesh, edges are padded to a multiple of the axis size and sharded;
+    each device accumulates its block contributions and a psum merges them
+    (DCN/ICI traffic: one (M,M,6,6)+(M,6) allreduce per GN iteration).
+    """
+    M = graph.states.shape[0]
+    K = graph.edges_i.shape[0]
+
+    if mesh is not None:
+        axis = axis or mesh.axis_names[0]
+        n = 1
+        for a in mesh.axis_names:
+            n *= mesh.shape[a]
+        pad = (-K) % n
+        ei = jnp.concatenate([graph.edges_i, -jnp.ones(pad, jnp.int32)])
+        ej = jnp.concatenate([graph.edges_j, -jnp.ones(pad, jnp.int32)])
+        z = jnp.concatenate([graph.measurements, jnp.zeros((pad, 6), jnp.float32)])
+        w = jnp.concatenate([graph.weights, jnp.zeros(pad, jnp.float32)])
+
+        spec = P(mesh.axis_names)  # shard edges over ALL mesh axes flattened
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), spec, spec, spec, spec),
+            out_specs=(P(), P(), P()),
+        )
+        def accumulate(states, ei_s, ej_s, z_s, w_s):
+            H, g, c = _accumulate_shard(
+                states, ei_s, ej_s, z_s, w_s, M, tuple(mesh.axis_names)
+            )
+            H = jax.lax.psum(H, mesh.axis_names)
+            g = jax.lax.psum(g, mesh.axis_names)
+            c = jax.lax.psum(c, mesh.axis_names)
+            return H, g, c
+
+        def build(states):
+            return accumulate(states, ei, ej, z, w)
+
+    else:
+
+        def build(states):
+            return _accumulate_shard(
+                states, graph.edges_i, graph.edges_j,
+                graph.measurements, graph.weights, M,
+            )
+
+    def gn_step(states, _):
+        H, g, cost = build(states)
+        Hd = jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * M, 6 * M)
+        gd = g.reshape(6 * M)
+        if fixed_first:
+            # gauge fix: clamp pose 0 by zeroing its rows/cols + unit diag
+            mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (M - 1))])
+            Hd = Hd * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            gd = gd * mask
+        Hd = Hd + damping * jnp.eye(6 * M, dtype=Hd.dtype)
+        step = jnp.linalg.solve(Hd, gd)
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
+        return states - step.reshape(M, 6), cost
+
+    states, costs = jax.lax.scan(gn_step, graph.states, None, length=iterations)
+    return states, costs[-1]
+
+
+def chain_to_graph(
+    relative_states: jax.Array,  # (N-1, 6) front-end per-pair states
+    loop_closures: list[tuple[int, int, jax.Array]] | None = None,
+    odometry_weight: float = 1.0,
+    loop_weight: float = 1.0,
+) -> PoseGraph:
+    """Build a pose graph from sequential odometry + optional loop edges.
+
+    Front-end convention: align(source=k, target=k+1) estimates T with
+    p_{k+1} = T p_k, and the global pose integrates pose_{k+1} =
+    pose_k @ T^{-1} (PhotoconsistencyVisualOdometry.cpp:233-234). Hence the
+    measured j-in-i transform for edge (k, k+1) is T^{-1}.
+    """
+    rel = jnp.asarray(relative_states, jnp.float32)
+    N = rel.shape[0] + 1
+    T_inv = se3.inverse(se3.pose_matrix(rel))  # (N-1, 4, 4)
+    meas = se3.matrix_to_state(T_inv)
+
+    # initial states: cumulative composition
+    states = [jnp.zeros(6, jnp.float32)]
+    Tw = jnp.eye(4)
+    for k in range(N - 1):
+        Tw = Tw @ T_inv[k]
+        states.append(se3.matrix_to_state(Tw))
+    states = jnp.stack(states)
+
+    ei = list(range(N - 1))
+    ej = list(range(1, N))
+    zs = [meas[k] for k in range(N - 1)]
+    ws = [odometry_weight] * (N - 1)
+    for (i, j, z) in loop_closures or []:
+        ei.append(i)
+        ej.append(j)
+        zs.append(jnp.asarray(z, jnp.float32))
+        ws.append(loop_weight)
+    return PoseGraph(
+        states=states,
+        edges_i=jnp.asarray(ei, jnp.int32),
+        edges_j=jnp.asarray(ej, jnp.int32),
+        measurements=jnp.stack(zs),
+        weights=jnp.asarray(ws, jnp.float32),
+    )

@@ -7,7 +7,9 @@ multi-chip path; bench.py runs on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the driver environment
+# pins it to the TPU plugin; tests must use the virtual 8-device CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# A pytest plugin pre-imports jax before this conftest runs, freezing the
+# env-var snapshot — the explicit config update still works.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the alignment graphs (multi-level pyramids +
 # while_loop solvers) are expensive to compile on the CPU backend; caching
