@@ -8,8 +8,10 @@ The entire Optimize() — intensity/depth pyramids, Scharr gradients, every
 pyramid level, every GN iteration — compiles to ONE XLA program per
 (config, image shape): Python drives the static level loop at trace time,
 lax.while_loop drives iterations on-device, and the per-level linearization
-is fused elementwise VPU work + two gathers + one (N,6)^T(N,6) MXU reduction
-(see ops/residuals.py). No host round-trips inside an alignment.
+is either the fused Pallas kernel (coarse levels: warp + Jacobian + Gram
+reduction in one kernel, sampling as MXU matmuls — see ops/fused.py) or the
+packed-gather XLA pipeline (fine levels). No host round-trips inside an
+alignment.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.ops.residuals import normal_equations, photometric_residual_jacobian
@@ -36,7 +39,7 @@ def align_analytic(
     intr: Intrinsics,
     init_state: jax.Array,
     config: PhovoConfig,
-    use_fused: bool = False,
+    use_fused: bool = True,
 ) -> AlignmentResult:
     del target_depth
     L = config.num_levels
@@ -46,31 +49,59 @@ def align_analytic(
     int1 = pyr.build_pyramid(target_intensity, L, blur)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
 
-    if use_fused:
-        from phovo_tpu.ops.fused import fused_normal_equations as ne_fn
-    else:
-        ne_fn = None
+    fused_ok = (
+        use_fused
+        and config.gradient_at == "warped"
+        and fused_ops._HAS_PALLAS
+        and jax.default_backend() == "tpu"
+    )
+    # Per-level packed targets, hoisted out of the iteration loops.
+    packed = [None] * L
+    for level in range(L):
+        if config.max_iterations[level] <= 0:
+            continue  # skipped level: no linearization ever runs
+        H = int1[level].shape[0]
+        if fused_ok and H <= fused_ops.FUSED_MAX_H:
+            packed[level] = (
+                "pallas",
+                fused_ops.pack_target_colmajor(int1[level], gx1[level], gy1[level]),
+            )
+        elif config.gradient_at == "warped":
+            packed[level] = (
+                "packed",
+                fused_ops.pack_target(int1[level], gx1[level], gy1[level]),
+            )
+        else:
+            packed[level] = ("reference", None)
 
     state = jnp.asarray(init_state, jnp.float32)
     diags = [None] * L
     for level in range(L - 1, -1, -1):
         intr_l = intr.at_level(level)
+        kind, tgt = packed[level] or (None, None)
+        if kind == "pallas":
+            linearize = fused_ops.make_fused_linearizer(
+                int0[level], dep0[level], tgt, intr_l,
+                config.min_depth, config.max_depth, config.sampling,
+            )
+        elif kind == "packed":
 
-        def linearize(s, _lvl=level):
-            if ne_fn is not None:
-                return ne_fn(
+            def linearize(s, _lvl=level, _tgt=tgt, _intr=intr_l):
+                return fused_ops.packed_normal_equations(
+                    int0[_lvl], dep0[_lvl], _tgt, s, _intr,
+                    config.min_depth, config.max_depth, config.sampling,
+                )
+
+        else:
+
+            def linearize(s, _lvl=level, _intr=intr_l):
+                r, J, valid = photometric_residual_jacobian(
                     int0[_lvl], dep0[_lvl], int1[_lvl], gx1[_lvl], gy1[_lvl],
-                    s, intr_l,
+                    s, _intr,
                     min_depth=config.min_depth, max_depth=config.max_depth,
                     sampling=config.sampling, gradient_at=config.gradient_at,
                 )
-            r, J, valid = photometric_residual_jacobian(
-                int0[_lvl], dep0[_lvl], int1[_lvl], gx1[_lvl], gy1[_lvl],
-                s, intr_l,
-                min_depth=config.min_depth, max_depth=config.max_depth,
-                sampling=config.sampling, gradient_at=config.gradient_at,
-            )
-            return normal_equations(r, J, valid)
+                return normal_equations(r, J, valid)
 
         res = gauss_newton_level(
             linearize,
@@ -95,7 +126,7 @@ class PhotoconsistencyOdometryAnalytic(PhotoconsistencyOdometryBase):
     """Object API over `align_analytic` (reference class:
     CPhotoconsistencyOdometryAnalytic, …Analytic.h:57)."""
 
-    def __init__(self, config: PhovoConfig | None = None, use_fused: bool = False):
+    def __init__(self, config: PhovoConfig | None = None, use_fused: bool = True):
         super().__init__(config)
         self.use_fused = use_fused
 

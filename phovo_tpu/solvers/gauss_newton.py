@@ -25,13 +25,51 @@ class GNLevelResult(NamedTuple):
     num_valid: jax.Array  # valid-pixel count at the last linearization
 
 
+def solve6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Unrolled 6x6 Cholesky solve (A symmetric positive definite).
+
+    jnp.linalg.solve lowers to a general LU kernel that costs tens of
+    microseconds per call on TPU — material when a frame runs 75 GN
+    iterations. The unrolled scalar DAG (~150 flops) compiles to straight
+    scalar-core code. Non-PD pivots are guarded to keep the result finite
+    (the caller additionally zero-guards).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = A[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, 6):
+            s = A[j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv_d
+    # forward substitution L y = b
+    ys = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * ys[k]
+        ys[i] = s / L[i][i]
+    # back substitution L^T x = y
+    xs = [None] * 6
+    for i in range(5, -1, -1):
+        s = ys[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * xs[k]
+        xs[i] = s / L[i][i]
+    return jnp.stack(xs)
+
+
 def _solve_step(JtJ: jax.Array, g: jax.Array, damping: float) -> jax.Array:
     """(JtJ + damping I)^{-1} g with a non-finite guard (the reference inverts
     blindly, …Analytic.h:540; a singular system there silently produces NaNs
     that propagate — here a NaN/Inf step degrades to zero so the solver
     freezes instead of diverging)."""
     A = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype)
-    step = jnp.linalg.solve(A, g)
+    step = solve6(A, g)
     ok = jnp.all(jnp.isfinite(step))
     return jnp.where(ok, step, jnp.zeros_like(step))
 
