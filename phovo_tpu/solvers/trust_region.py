@@ -7,6 +7,9 @@ trust-region radius, min_relative_decrease). This module is a from-scratch
 jit-compilable LM with the same control parameters and Ceres's radius-update
 rule, so the reference's 8 ceres config presets drive it unchanged.
 
+The solver consumes reduced NormalEquations (JtJ, Jtr, cost) from any
+linearizer — the fused Pallas kernel in production (models/autodiff.py), or
+jacfwd of a pure residual (the validation path; `residual_to_linearizer`).
 The step model is classic Levenberg-Marquardt on the normal equations:
     (J^T J + (1/radius) * diag(J^T J)) dx = -J^T r
 (Ceres's LevenbergMarquardtStrategy with Jacobi scaling approximated by the
@@ -22,13 +25,17 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from phovo_tpu.ops.residuals import NormalEquations
+from phovo_tpu.solvers.gauss_newton import solve6
+
 
 class TRLevelResult(NamedTuple):
     state: jax.Array  # (6,)
     iterations: jax.Array  # int32
-    cost: jax.Array  # final accepted cost
+    cost: jax.Array  # final accepted cost (0.5 * sum r^2)
     gradient_norm: jax.Array  # max-norm of J^T r at termination
     radius: jax.Array  # final trust-region radius
+    num_valid: jax.Array  # valid pixels at last accepted linearization
 
 
 class TROptions(NamedTuple):
@@ -42,69 +49,78 @@ class TROptions(NamedTuple):
     min_relative_decrease: float = 1e-3
 
 
-def trust_region_level(
+def residual_to_linearizer(
     residual_and_jacobian: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
-    init_state: jax.Array,
-    opts: TROptions,
-) -> TRLevelResult:
-    """Run trust-region LM at one pyramid level.
+) -> Callable[[jax.Array], NormalEquations]:
+    """Adapt an (r, J)-producing function (e.g. jacfwd of a pure residual)
+    to the NormalEquations interface."""
 
-    residual_and_jacobian(state) -> (r (N,), J (N, 6)); typically jacfwd of a
-    pure residual function (see models/autodiff.py). Invalid pixels must
-    already be zeroed in both r and J.
-    """
-    init_state = jnp.asarray(init_state, dtype=jnp.float32)
-    if opts.max_iterations <= 0:
-        zero = jnp.float32(0.0)
-        return TRLevelResult(
-            init_state, jnp.int32(0), zero, zero, jnp.float32(opts.initial_trust_region_radius)
-        )
-
-    def eval_cost(state):
+    def linearize(state) -> NormalEquations:
         r, J = residual_and_jacobian(state)
         JtJ = jnp.einsum(
             "ni,nj->ij", J, J, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         Jtr = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
-        cost = 0.5 * jnp.dot(r, r)
-        return cost, JtJ, Jtr
+        cost = jnp.dot(r, r)
+        return NormalEquations(JtJ, Jtr, cost, jnp.float32(0.0))
 
-    cost0, JtJ0, Jtr0 = eval_cost(init_state)
+    return linearize
 
-    # carry: state, cost, JtJ, Jtr, radius, iteration, done
+
+def trust_region_level(
+    linearize: Callable[[jax.Array], NormalEquations],
+    init_state: jax.Array,
+    opts: TROptions,
+) -> TRLevelResult:
+    """Run trust-region LM at one pyramid level.
+
+    linearize(state) -> NormalEquations (cost convention: sum of squared
+    residuals; the LM bookkeeping uses 0.5x internally like Ceres).
+    """
+    init_state = jnp.asarray(init_state, dtype=jnp.float32)
+    if opts.max_iterations <= 0:
+        zero = jnp.float32(0.0)
+        return TRLevelResult(
+            init_state, jnp.int32(0), zero, zero,
+            jnp.float32(opts.initial_trust_region_radius), zero,
+        )
+
+    ne0 = linearize(init_state)
+    cost0 = 0.5 * ne0.cost
+
+    # carry: state, cost, JtJ, Jtr, num_valid, radius, iteration, done
     def cond(carry):
-        _, _, _, _, _, it, done = carry
-        return (it < opts.max_iterations) & jnp.logical_not(done)
+        return (carry[-2] < opts.max_iterations) & jnp.logical_not(carry[-1])
 
     def body(carry):
-        state, cost, JtJ, Jtr, radius, it, _ = carry
+        state, cost, JtJ, Jtr, nv, radius, it, _ = carry
         diag = jnp.clip(jnp.diag(JtJ), 1e-12, 1e32)
         A = JtJ + jnp.diag(diag) / radius
-        step = jnp.linalg.solve(A, -Jtr)
+        step = solve6(A, -Jtr)
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
 
         new_state = state + step
-        new_cost, new_JtJ, new_Jtr = eval_cost(new_state)
+        ne = linearize(new_state)
+        new_cost = 0.5 * ne.cost
 
-        # rho = actual decrease / model decrease; model decrease for LM step:
-        # -step.(Jtr) - 0.5 step.JtJ.step  (positive when the model predicts
-        # improvement).
+        # rho = actual decrease / model decrease for the LM step
         predicted = -jnp.dot(step, Jtr) - 0.5 * jnp.dot(step, JtJ @ step)
         predicted = jnp.maximum(predicted, 1e-30)
         rho = (cost - new_cost) / predicted
 
         accept = rho > opts.min_relative_decrease
-        # Ceres radius update.
         grow = radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        new_radius = jnp.where(accept, jnp.minimum(grow, opts.max_trust_region_radius), radius * 0.5)
+        new_radius = jnp.where(
+            accept, jnp.minimum(grow, opts.max_trust_region_radius), radius * 0.5
+        )
 
         state_n = jnp.where(accept, new_state, state)
         cost_n = jnp.where(accept, new_cost, cost)
-        JtJ_n = jnp.where(accept, new_JtJ, JtJ)
-        Jtr_n = jnp.where(accept, new_Jtr, Jtr)
+        JtJ_n = jnp.where(accept, ne.JtJ, JtJ)
+        Jtr_n = jnp.where(accept, ne.Jtr, Jtr)
+        nv_n = jnp.where(accept, ne.num_valid, nv)
 
-        # Termination tests (Ceres semantics).
         f_done = accept & (jnp.abs(cost - new_cost) <= opts.function_tolerance * cost)
         g_done = jnp.max(jnp.abs(Jtr_n)) <= opts.gradient_tolerance
         p_done = accept & (
@@ -113,16 +129,17 @@ def trust_region_level(
         )
         r_done = new_radius < opts.min_trust_region_radius
         done = f_done | g_done | p_done | r_done
-        return (state_n, cost_n, JtJ_n, Jtr_n, new_radius, it + 1, done)
+        return (state_n, cost_n, JtJ_n, Jtr_n, nv_n, new_radius, it + 1, done)
 
     init = (
         init_state,
         cost0,
-        JtJ0,
-        Jtr0,
+        ne0.JtJ,
+        ne0.Jtr,
+        ne0.num_valid,
         jnp.float32(opts.initial_trust_region_radius),
         jnp.int32(0),
-        jnp.max(jnp.abs(Jtr0)) <= opts.gradient_tolerance,
+        jnp.max(jnp.abs(ne0.Jtr)) <= opts.gradient_tolerance,
     )
-    state, cost, _, Jtr, radius, it, _ = jax.lax.while_loop(cond, body, init)
-    return TRLevelResult(state, it, cost, jnp.max(jnp.abs(Jtr)), radius)
+    state, cost, _, Jtr, nv, radius, it, _ = jax.lax.while_loop(cond, body, init)
+    return TRLevelResult(state, it, cost, jnp.max(jnp.abs(Jtr)), radius, nv)
