@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named preset (default/fr1/fr2/fr3) or 'fx,fy,cx,cy'")
     p.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
     p.add_argument("--pairing", default="associate", choices=["associate", "lockstep"])
+    p.add_argument("--loader", default="auto", choices=["auto", "native", "python"],
+                   help="dataset decode pipeline: the C++ decode-ahead loader "
+                        "(native/libphovo_io.so), the Python/cv2 one, or auto "
+                        "(native when built)")
     p.add_argument("--warm-start", action="store_true",
                    help="initialize each pair from the previous relative pose")
     p.add_argument("--max-frames", type=int, default=None)
@@ -77,7 +81,26 @@ def _main(argv=None) -> int:
     cfg = load_config(args.config)
     intr = parse_intrinsics(args.intrinsics)
 
-    seq = TUMSequence(args.dataset, depth_scale=args.depth_scale, pairing=args.pairing)
+    from phovo_tpu.datasets import native_loader
+
+    use_native = args.loader == "native" or (
+        args.loader == "auto" and native_loader.available()
+    )
+    if use_native:
+        if not native_loader.available():
+            print(
+                "error: native loader requested but native/libphovo_io.so is "
+                "not built (run `make -C native`)",
+                file=sys.stderr,
+            )
+            return 1
+        seq = native_loader.NativeTUMSequence(
+            args.dataset, depth_scale=args.depth_scale, pairing=args.pairing
+        )
+    else:
+        seq = TUMSequence(
+            args.dataset, depth_scale=args.depth_scale, pairing=args.pairing
+        )
     if len(seq) < 2:
         print("error: fewer than 2 paired frames in dataset", file=sys.stderr)
         return 1
