@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(native when built)")
     p.add_argument("--warm-start", action="store_true",
                    help="initialize each pair from the previous relative pose")
+    p.add_argument("--mode", default="frame", choices=["frame", "keyframe"],
+                   help="frame: reference-style frame-to-frame chaining; "
+                        "keyframe: track against keyframes with loop closure "
+                        "and a final pose-graph optimization")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--checkpoint", default=None, help="checkpoint JSON path")
     p.add_argument("--resume", action="store_true",
@@ -108,6 +112,9 @@ def _main(argv=None) -> int:
     vo = BACKENDS[args.backend](cfg)
     vo.set_intrinsic_matrix(np.asarray(intr.matrix()))
 
+    if args.mode == "keyframe":
+        return _run_keyframe_mode(args, vo, seq)
+
     pipeline = VisualOdometryPipeline(
         vo, warm_start=args.warm_start, checkpoint_path=args.checkpoint
     )
@@ -133,15 +140,53 @@ def _main(argv=None) -> int:
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
 
-    if args.eval_gt:
-        est = read_trajectory(args.output)
-        gt = read_trajectory(args.eval_gt)
-        ate = absolute_trajectory_error(est, gt)
-        rpe = relative_pose_error(est, gt)
-        print(f"ATE rmse: {ate['rmse']:.4f} m (over {ate['num_pairs']} pairs)")
+    _maybe_eval(args)
+    return 0
+
+
+def _maybe_eval(args) -> None:
+    if not args.eval_gt:
+        return
+    from phovo_tpu.utils.trajectory import (
+        absolute_trajectory_error,
+        read_trajectory,
+        relative_pose_error,
+    )
+
+    est = read_trajectory(args.output)
+    gt = read_trajectory(args.eval_gt)
+    ate = absolute_trajectory_error(est, gt)
+    rpe = relative_pose_error(est, gt)
+    print(f"ATE rmse: {ate['rmse']:.4f} m (over {ate['num_pairs']} pairs)")
+    print(f"RPE rmse: {rpe['trans_rmse']:.4f} m / {rpe['rot_rmse_deg']:.3f} deg")
+
+
+def _run_keyframe_mode(args, vo, seq) -> int:
+    from phovo_tpu.datasets.tum import prefetch
+    from phovo_tpu.models.keyframe import KeyframeVisualOdometry
+    from phovo_tpu.utils.trajectory import TrajectoryWriter
+
+    kvo = KeyframeVisualOdometry(vo)
+    n = 0
+    for tf in kvo.run(prefetch(iter(seq))):
+        n += 1
+        if not args.quiet:
+            print(
+                f"frame {tf.frame_index}: kf {tf.keyframe_index}, "
+                f"iters {tf.align_iterations.tolist()}"
+            )
+        if args.max_frames is not None and n >= args.max_frames:
+            break
+    tracked = kvo.finalize()
+    with TrajectoryWriter(args.output) as out:
+        for tf in tracked:
+            out.write(tf.timestamp, tf.pose)
+    if not args.quiet:
         print(
-            f"RPE rmse: {rpe['trans_rmse']:.4f} m / {rpe['rot_rmse_deg']:.3f} deg"
+            f"wrote {len(tracked)} poses ({len(kvo.keyframes)} keyframes, "
+            f"{len(kvo.loop_closures)} loop closures) to {args.output}"
         )
+    _maybe_eval(args)
     return 0
 
 

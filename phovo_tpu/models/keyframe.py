@@ -1,0 +1,246 @@
+"""Keyframe-based visual odometry with loop closure and pose-graph backend.
+
+The reference integrates pose frame-to-frame with no drift correction
+(PhotoconsistencyVisualOdometry.cpp:233-234). This module adds the standard
+dense-VO production structure on top of the same aligners:
+
+  - frames are tracked against the current KEYFRAME (not the previous
+    frame), which removes the per-frame integration drift of chain odometry;
+  - a new keyframe is promoted when the tracked motion or the valid-pixel
+    overlap crosses thresholds, adding an odometry edge to the pose graph;
+  - loop closures: when a new keyframe lands near an old, non-adjacent
+    keyframe, the two are aligned photometrically; if the alignment is
+    well-supported (valid-pixel fraction + mean residual gates) a loop edge
+    is added;
+  - `finalize()` runs the (optionally mesh-sharded) pose-graph Gauss-Newton
+    (parallel/pose_graph.py) and recomposes every frame pose from its
+    optimized reference keyframe.
+
+Tracking stays chip-local; only the pose-graph reduction spans devices
+(SURVEY §5 north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from phovo_tpu.datasets.tum import RGBDFrame
+from phovo_tpu.models.base import PhotoconsistencyOdometryBase
+from phovo_tpu.ops import se3
+from phovo_tpu.parallel.pose_graph import PoseGraph, optimize_pose_graph
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int  # keyframe id (0-based)
+    frame_index: int  # source frame index in the stream
+    timestamp: float
+    intensity: np.ndarray
+    depth: np.ndarray
+    pose: np.ndarray  # (4, 4) world <- keyframe (current estimate)
+
+
+@dataclasses.dataclass
+class TrackedFrame:
+    frame_index: int
+    timestamp: float
+    keyframe_index: int
+    rel_to_keyframe: np.ndarray  # (4, 4): pose = kf.pose @ rel
+    pose: np.ndarray  # (4, 4) world pose (pre-optimization estimate)
+    align_iterations: np.ndarray
+    num_valid: float
+
+
+@dataclasses.dataclass
+class LoopClosure:
+    from_kf: int
+    to_kf: int
+    relative: np.ndarray  # (4, 4): T_from^{-1} T_to measured
+    mean_residual: float
+
+
+class KeyframeVisualOdometry:
+    """Keyframe tracker + pose-graph backend over any alignment backend."""
+
+    def __init__(
+        self,
+        odometry: PhotoconsistencyOdometryBase,
+        kf_translation: float = 0.15,  # meters
+        kf_rotation: float = 0.15,  # radians (euler norm)
+        kf_min_valid_fraction: float = 0.5,
+        loop_radius: float = 0.6,  # meters between keyframe positions
+        loop_min_gap: int = 5,  # minimum keyframe-index separation
+        loop_max_mean_residual: float = 0.05,  # intensity units (0..1)
+        loop_min_valid_fraction: float = 0.4,
+        loop_weight: float = 10.0,
+    ):
+        self.odometry = odometry
+        self.kf_translation = kf_translation
+        self.kf_rotation = kf_rotation
+        self.kf_min_valid_fraction = kf_min_valid_fraction
+        self.loop_radius = loop_radius
+        self.loop_min_gap = loop_min_gap
+        self.loop_max_mean_residual = loop_max_mean_residual
+        self.loop_min_valid_fraction = loop_min_valid_fraction
+        self.loop_weight = loop_weight
+
+        self.keyframes: list[Keyframe] = []
+        self.tracked: list[TrackedFrame] = []
+        self.odometry_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, T_i^-1 T_j)
+        self.loop_closures: list[LoopClosure] = []
+
+    # -- alignment helpers ---------------------------------------------------
+
+    @staticmethod
+    def _finest_stats(res) -> tuple[float, float]:
+        """(cost, num_valid) at the finest pyramid level that actually ran
+        (diagnostics are stacked per level, index 0 = full resolution; skipped
+        levels report zeros)."""
+        iters = np.asarray(res.iterations)
+        ran = np.nonzero(iters > 0)[0]
+        lvl = int(ran[0]) if len(ran) else 0
+        return float(np.asarray(res.cost)[lvl]), float(np.asarray(res.num_valid)[lvl])
+
+    def _align(self, src_i, src_d, tgt_i, tgt_d, init_state=None):
+        self.odometry.set_source_frame(src_i, src_d)
+        self.odometry.set_target_frame(tgt_i, tgt_d)
+        self.odometry.set_initial_state_vector(
+            np.zeros(6, np.float32) if init_state is None else init_state
+        )
+        return self.odometry.optimize()
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, frames: Iterable[RGBDFrame]) -> Iterator[TrackedFrame]:
+        it = iter(frames)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        self._promote(first, 0, np.eye(4))
+        npix = first.intensity.size
+        last_rel_state = np.zeros(6, np.float32)
+
+        frame_index = 0
+        for fr in it:
+            frame_index += 1
+            kf = self.keyframes[-1]
+            res = self._align(
+                kf.intensity, kf.depth, fr.intensity, fr.depth, last_rel_state
+            )
+            state = np.asarray(res.state)
+            _, nvalid = self._finest_stats(res)
+            Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
+            rel = np.linalg.inv(Rt)  # kf -> frame camera motion in world terms
+            pose = kf.pose @ rel
+            tf = TrackedFrame(
+                frame_index=frame_index,
+                timestamp=fr.timestamp,
+                keyframe_index=kf.index,
+                rel_to_keyframe=rel,
+                pose=pose,
+                align_iterations=np.asarray(res.iterations),
+                num_valid=nvalid,
+            )
+            self.tracked.append(tf)
+            yield tf
+
+            trans = float(np.linalg.norm(state[:3]))
+            rot = float(np.linalg.norm(state[3:]))
+            overlap = nvalid / float(npix)
+            if (
+                trans > self.kf_translation
+                or rot > self.kf_rotation
+                or overlap < self.kf_min_valid_fraction
+            ):
+                new_kf = self._promote(fr, frame_index, pose)
+                self.odometry_edges.append((kf.index, new_kf.index, rel.copy()))
+                self._try_loop_closure(new_kf)
+                last_rel_state = np.zeros(6, np.float32)
+            else:
+                last_rel_state = state.astype(np.float32)
+
+    def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
+        kf = Keyframe(
+            index=len(self.keyframes),
+            frame_index=frame_index,
+            timestamp=fr.timestamp,
+            intensity=np.asarray(fr.intensity),
+            depth=np.asarray(fr.depth),
+            pose=np.asarray(pose),
+        )
+        self.keyframes.append(kf)
+        return kf
+
+    def _try_loop_closure(self, new_kf: Keyframe) -> None:
+        pos = new_kf.pose[:3, 3]
+        for old in self.keyframes[: max(0, new_kf.index - self.loop_min_gap)]:
+            if np.linalg.norm(old.pose[:3, 3] - pos) > self.loop_radius:
+                continue
+            res = self._align(
+                old.intensity, old.depth, new_kf.intensity, new_kf.depth
+            )
+            cost, nvalid = self._finest_stats(res)
+            npix = new_kf.intensity.size
+            mean_res = np.sqrt(cost / max(nvalid, 1.0))
+            if (
+                nvalid / npix >= self.loop_min_valid_fraction
+                and mean_res <= self.loop_max_mean_residual
+            ):
+                state = np.asarray(res.state, dtype=np.float64)
+                rel = np.linalg.inv(np.asarray(se3.pose_matrix(state)))
+                self.loop_closures.append(
+                    LoopClosure(old.index, new_kf.index, rel, mean_res)
+                )
+
+    # -- backend -------------------------------------------------------------
+
+    def build_pose_graph(self) -> PoseGraph:
+        M = len(self.keyframes)
+        states = jnp.asarray(
+            np.stack(
+                [np.asarray(se3.matrix_to_state(jnp.asarray(k.pose))) for k in self.keyframes]
+            ).astype(np.float32)
+        )
+        ei, ej, zs, ws = [], [], [], []
+        for i, j, rel in self.odometry_edges:
+            ei.append(i)
+            ej.append(j)
+            zs.append(np.asarray(se3.matrix_to_state(jnp.asarray(rel))))
+            ws.append(1.0)
+        for lc in self.loop_closures:
+            ei.append(lc.from_kf)
+            ej.append(lc.to_kf)
+            zs.append(np.asarray(se3.matrix_to_state(jnp.asarray(lc.relative))))
+            ws.append(self.loop_weight)
+        if not ei:  # single-keyframe trajectory: a self-consistent null graph
+            ei, ej = [0], [0]
+            zs, ws = [np.zeros(6)], [0.0]
+        return PoseGraph(
+            states=states,
+            edges_i=jnp.asarray(ei, jnp.int32),
+            edges_j=jnp.asarray(ej, jnp.int32),
+            measurements=jnp.asarray(np.stack(zs).astype(np.float32)),
+            weights=jnp.asarray(ws, jnp.float32),
+        )
+
+    def finalize(self, mesh=None, iterations: int = 10) -> list[TrackedFrame]:
+        """Pose-graph optimize keyframes and recompose all frame poses.
+
+        Returns the tracked frames with `pose` updated in place.
+        """
+        if len(self.keyframes) >= 2:
+            graph = self.build_pose_graph()
+            states, _ = optimize_pose_graph(graph, mesh=mesh, iterations=iterations)
+            states = np.asarray(states, dtype=np.float64)
+            for k, kf in enumerate(self.keyframes):
+                kf.pose = np.asarray(se3.pose_matrix(states[k]))
+        kf_by_index = {k.index: k for k in self.keyframes}
+        for tf in self.tracked:
+            tf.pose = kf_by_index[tf.keyframe_index].pose @ tf.rel_to_keyframe
+        return self.tracked
