@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from --checkpoint if it exists")
     p.add_argument("--eval-gt", default=None,
                    help="TUM groundtruth.txt to evaluate ATE/RPE against")
+    p.add_argument("--metrics", default=None,
+                   help="write per-frame JSONL metrics to this file")
+    p.add_argument("--save-diff-dir", default=None,
+                   help="write per-frame |target - warped source| PNGs here "
+                        "(the reference's imshow diagnostic, rendered to disk)")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
 
@@ -123,7 +128,27 @@ def _main(argv=None) -> int:
         if not args.quiet:
             print(f"resumed at frame {pipeline.frame_index}")
 
-    frames = prefetch(iter(seq))
+    metrics = None
+    if args.metrics:
+        from phovo_tpu.utils.profiling import MetricsLogger
+
+        metrics = MetricsLogger(args.metrics)
+    diff_dir = None
+    if args.save_diff_dir:
+        diff_dir = Path(args.save_diff_dir)
+        diff_dir.mkdir(parents=True, exist_ok=True)
+
+    # tee the stream so diagnostics can reference the frame pair just aligned
+    window: dict = {}
+
+    def tee(stream):
+        prev = None
+        for f in stream:
+            window["prev"], window["cur"] = prev, f
+            prev = f
+            yield f
+
+    frames = tee(prefetch(iter(seq)))
     n_done = 0
     with TrajectoryWriter(args.output) as out:
         for fr in pipeline.run(frames):
@@ -134,8 +159,26 @@ def _main(argv=None) -> int:
                     f"frame {pipeline.frame_index}: {fr.align_seconds:.4f} s, "
                     f"iters {fr.iterations.tolist()}"
                 )
+            if metrics is not None:
+                metrics.log(
+                    frame=pipeline.frame_index,
+                    timestamp=fr.timestamp,
+                    align_seconds=fr.align_seconds,
+                    iterations=fr.iterations,
+                    relative_state=fr.relative_state,
+                )
+            if diff_dir is not None and window.get("prev") is not None:
+                from phovo_tpu.utils.viz import alignment_diff, save_image
+
+                diff = alignment_diff(
+                    window["prev"].intensity, window["prev"].depth,
+                    window["cur"].intensity, fr.relative_state, intr,
+                )
+                save_image(diff_dir / f"diff_{pipeline.frame_index:06d}.png", diff)
             if args.max_frames is not None and n_done >= args.max_frames:
                 break
+    if metrics is not None:
+        metrics.close()
 
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")

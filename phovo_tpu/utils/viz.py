@@ -1,0 +1,67 @@
+"""Visualization / diagnostic image utilities.
+
+The reference verifies alignment by eye: cv::imshow of |target - warped
+source| per frame and optionally per iteration
+(PhotoconsistencyFrameAlignment.cpp:107-112,
+CPhotoconsistencyOdometryAnalytic.h:551-557, visualizeIterations config
+key). There is no display in a TPU pod; the equivalent here renders the
+same diagnostics to PNG files (or returns arrays for notebooks).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from phovo_tpu.ops.camera import Intrinsics
+from phovo_tpu.ops.warp import forward_warp
+
+
+def alignment_diff(
+    source_intensity: np.ndarray,
+    source_depth: np.ndarray,
+    target_intensity: np.ndarray,
+    state: np.ndarray,
+    intr: Intrinsics,
+) -> np.ndarray:
+    """|target - forward-warped source| in the input intensity range.
+
+    A converged alignment yields a near-black image (the reference's manual
+    oracle, SURVEY §4)."""
+    src = np.asarray(source_intensity, dtype=np.float32)
+    warped = np.asarray(
+        forward_warp(
+            jnp.asarray(src), jnp.asarray(source_depth, dtype=np.float32),
+            jnp.asarray(state, dtype=np.float32), intr,
+        )
+    )
+    return np.abs(np.asarray(target_intensity, dtype=np.float32) - warped)
+
+
+def save_image(path: str | Path, img: np.ndarray) -> None:
+    """Write a grayscale image (float arrays are clipped to [0, 255])."""
+    import cv2
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        if arr.max() <= 1.5:  # assume [0, 1] intensity
+            arr = arr * 255.0
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    cv2.imwrite(str(path), arr)
+
+
+def side_by_side(*images: np.ndarray, pad: int = 4) -> np.ndarray:
+    """Horizontal mosaic with padding (all images same height)."""
+    imgs = [np.asarray(i, dtype=np.float32) for i in images]
+    H = max(i.shape[0] for i in imgs)
+    sep = np.full((H, pad), 255.0, np.float32)
+    cols = []
+    for k, im in enumerate(imgs):
+        if im.shape[0] < H:
+            im = np.pad(im, ((0, H - im.shape[0]), (0, 0)))
+        if k:
+            cols.append(sep)
+        cols.append(im)
+    return np.concatenate(cols, axis=1)
