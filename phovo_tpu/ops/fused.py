@@ -167,46 +167,14 @@ def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 4_000_000) -> int:
     return N  # no legal tiling; single full block and hope it fits
 
 
-def _fused_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-    out_ref, acc_ref, *, H, W, NT, bilinear,
+def _linearize_gram(
+    x, y, z, yaw, pitch, roll, fx, fy, cx, cy, minD, maxD,
+    i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref, *, H, W, NT, bilinear,
 ):
-    """One grid step: linearize NT flat source pixels, accumulate 8x8 Gram.
-
-    state_ref (SMEM, (1, 8)): [x y z yaw pitch roll 0 0] (changes per iter)
-    const_ref (SMEM, (1, 8)): [fx fy cx cy minD maxD 0 0] (loop-invariant)
-    i0_ref/d0_ref (VMEM): (1, NT) flattened source tiles (pixels on lanes).
-    t_*_ref (VMEM): (H, W) row-major target intensity / grad-x / grad-y.
-    out_ref (VMEM): (8, 8) Gram output (same block every step).
-    acc_ref (VMEM scratch): (8, 8) f32 accumulator.
-
-    Layout: pixels live on the LANE axis ((1, NT) per-pixel rows), so
-    sampling masks are (W, NT)/(H, NT) built by sublane-broadcast iota
-    compares — no sublane<->lane reshape anywhere. Sampling is
-    dot(target (H, W), column-mask (W, NT)) on the MXU, then a row-mask
-    multiply + sublane reduction; the Gram is one (8, NT)x(NT, 8)
-    dot_general. The (N, 6) Jacobian never exists outside registers.
-    """
-    step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
-
-    @pl.when(step == 0)
-    def _():
-        acc_ref[:] = jnp.zeros((8, 8), jnp.float32)
-
-    x = state_ref[0, 0]
-    y = state_ref[0, 1]
-    z = state_ref[0, 2]
-    yaw = state_ref[0, 3]
-    pitch = state_ref[0, 4]
-    roll = state_ref[0, 5]
-    fx = const_ref[0, 0]
-    fy = const_ref[0, 1]
-    cx = const_ref[0, 2]
-    cy = const_ref[0, 3]
-    minD = const_ref[0, 4]
-    maxD = const_ref[0, 5]
-
+    """Full-level linearization as a function of the 6 state scalars:
+    internal fori_loop over NT-pixel sub-tiles, each computing geometry +
+    MXU one/two-hot sampling + the 8x8 Gram of [J0..J5, r, valid]
+    (see _fused_kernel docstring for the layout rules)."""
     cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     cr, sr = jnp.cos(roll), jnp.sin(roll)
@@ -224,114 +192,273 @@ def _fused_kernel(
     dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
     dR21y, dR22y = cp * cr, -cp * sr
 
-    d0 = d0_ref[:]  # (1, NT)
-    i0 = i0_ref[:]
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1) + step * NT
-    rows = (pidx // W).astype(jnp.float32)
-    cols = (pidx % W).astype(jnp.float32)
+    n_tiles = (H * W) // NT
 
-    pz = d0
-    px = (cols - cx) * pz / fx
-    py = (rows - cy) * pz / fy
+    def tile_gram(step):
+        if n_tiles == 1:
+            d0 = d0_ref[:]  # (1, NT)
+            i0 = i0_ref[:]
+        else:
+            off = pl.multiple_of(step * NT, 128)
+            d0 = d0_ref[:, pl.ds(off, NT)]
+            i0 = i0_ref[:, pl.ds(off, NT)]
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1) + step * NT
+        rows = (pidx // W).astype(jnp.float32)
+        cols = (pidx % W).astype(jnp.float32)
 
-    tx = R00 * px + R01 * py + R02 * pz + x
-    ty = R10 * px + R11 * py + R12 * pz + y
-    tz = R20 * px + R21 * py + R22 * pz + z
-    safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
-    iz = 1.0 / safe_z
-    u = tx * fx * iz + cx
-    v = ty * fy * iz + cy
-    valid = (d0 > minD) & (d0 < maxD) & (tz > 0)
+        pz = d0
+        px = (cols - cx) * pz / fx
+        py = (rows - cy) * pz / fy
 
-    # rigid-jacobian rotation columns (dR @ p); dY2* are zero
-    ry0 = dY00 * px + dY01 * py + dY02 * pz
-    ry1 = dY10 * px + dY11 * py + dY12 * pz
-    rp0 = dP00 * px + dP01 * py + dP02 * pz
-    rp1 = dP10 * px + dP11 * py + dP12 * pz
-    rp2 = dP20 * px + dP21 * py + dP22 * pz
-    rr0 = dR01y * py + dR02y * pz
-    rr1 = dR11y * py + dR12y * pz
-    rr2 = dR21y * py + dR22y * pz
+        tx = R00 * px + R01 * py + R02 * pz + x
+        ty = R10 * px + R11 * py + R12 * pz + y
+        tz = R20 * px + R21 * py + R22 * pz + z
+        safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
+        iz = 1.0 / safe_z
+        u = tx * fx * iz + cx
+        v = ty * fy * iz + cy
+        valid = (d0 > minD) & (d0 < maxD) & (tz > 0)
 
-    a0 = fx * iz
-    a2 = -fx * tx * iz * iz
-    b1 = fy * iz
-    b2 = -fy * ty * iz * iz
-    Ju0, Ju2 = a0, a2
-    Ju3 = a0 * ry0
-    Ju4 = a0 * rp0 + a2 * rp2
-    Ju5 = a0 * rr0 + a2 * rr2
-    Jv1, Jv2 = b1, b2
-    Jv3 = b1 * ry1
-    Jv4 = b1 * rp1 + b2 * rp2
-    Jv5 = b1 * rr1 + b2 * rr2
+        # rigid-jacobian rotation columns (dR @ p); dY2* are zero
+        ry0 = dY00 * px + dY01 * py + dY02 * pz
+        ry1 = dY10 * px + dY11 * py + dY12 * pz
+        rp0 = dP00 * px + dP01 * py + dP02 * pz
+        rp1 = dP10 * px + dP11 * py + dP12 * pz
+        rp2 = dP20 * px + dP21 * py + dP22 * pz
+        rr0 = dR01y * py + dR02y * pz
+        rr1 = dR11y * py + dR12y * pz
+        rr2 = dR21y * py + dR22y * pz
 
-    # --- sampling weights (nearest: one-hot at round; bilinear: two-hot;
-    # mode chosen at kernel specialization) ---
-    if bilinear:
-        c0 = jnp.floor(u)  # (1, NT)
-        r0 = jnp.floor(v)
-        fc = u - c0
-        fr = v - r0
-        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    else:
-        c0 = jnp.round(u)
-        r0 = jnp.round(v)
-        fc = jnp.zeros_like(u)
-        fr = jnp.zeros_like(v)
-        inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
-    valid = valid & inb
+        a0 = fx * iz
+        a2 = -fx * tx * iz * iz
+        b1 = fy * iz
+        b2 = -fy * ty * iz * iz
+        Ju0, Ju2 = a0, a2
+        Ju3 = a0 * ry0
+        Ju4 = a0 * rp0 + a2 * rp2
+        Ju5 = a0 * rr0 + a2 * rr2
+        Jv1, Jv2 = b1, b2
+        Jv3 = b1 * ry1
+        Jv4 = b1 * rp1 + b2 * rp2
+        Jv5 = b1 * rr1 + b2 * rr2
 
-    c_lo = jnp.clip(c0, 0, W - 1)
-    c_hi = jnp.clip(c0 + 1, 0, W - 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0).astype(jnp.float32)
-    colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
-        iota_w == c_hi, fc, 0.0
-    )  # (W, NT)
+        # --- sampling weights (nearest: one-hot at round; bilinear: two-hot;
+        # mode chosen at kernel specialization) ---
+        if bilinear:
+            c0 = jnp.floor(u)  # (1, NT)
+            r0 = jnp.floor(v)
+            fc = u - c0
+            fr = v - r0
+            inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        else:
+            c0 = jnp.round(u)
+            r0 = jnp.round(v)
+            fc = jnp.zeros_like(u)
+            fr = jnp.zeros_like(v)
+            inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
+        valid = valid & inb
 
-    r_lo = jnp.clip(r0, 0, H - 1)
-    r_hi = jnp.clip(r0 + 1, 0, H - 1)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, NT), 0).astype(jnp.float32)
-    roww = jnp.where(iota_h == r_lo, 1.0 - fr, 0.0) + jnp.where(
-        iota_h == r_hi, fr, 0.0
-    )  # (H, NT)
+        c_lo = jnp.clip(c0, 0, W - 1)
+        c_hi = jnp.clip(c0 + 1, 0, W - 1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0).astype(jnp.float32)
+        colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
+            iota_w == c_hi, fc, 0.0
+        )  # (W, NT)
 
-    def mix(tref):
-        C = jax.lax.dot_general(
-            tref[:], colw,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        r_lo = jnp.clip(r0, 0, H - 1)
+        r_hi = jnp.clip(r0 + 1, 0, H - 1)
+
+        # Banded row window: the row-mix only needs the target rows this tile's
+        # pixels actually land in. For a smooth warp a tile of consecutive
+        # source pixels maps into a narrow row band, so contracting over
+        # BAND << H rows cuts the mix's MXU and mask-build cost proportionally.
+        # Only applied when the tile itself spans few enough source rows that
+        # the 32-row band leaves ample motion margin (tile_rows <= BAND/2);
+        # pixels outside the dynamically-chosen band (possible only under
+        # extreme rotation at fine levels) are masked invalid for this
+        # iteration — the coarse levels (full-band) absorb such motion first.
+        tile_rows = max(1, NT // W)
+        BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
+        if BAND < H:
+            rmin = jnp.min(jnp.where(valid, r_lo, jnp.float32(H)))
+            band = jnp.clip(rmin, 0, H - BAND).astype(jnp.int32)
+            band = (band // 8) * 8  # sublane-aligned dynamic slice start
+            band = pl.multiple_of(band, 8)
+            bandf = band.astype(jnp.float32)
+            in_band = (r_lo >= bandf) & (r_hi <= bandf + (BAND - 1))
+            valid = valid & in_band
+            r_lo_loc = r_lo - bandf
+            r_hi_loc = r_hi - bandf
+        else:
+            band = 0
+            r_lo_loc = r_lo
+            r_hi_loc = r_hi
+
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0).astype(jnp.float32)
+        roww = jnp.where(iota_h == r_lo_loc, 1.0 - fr, 0.0) + jnp.where(
+            iota_h == r_hi_loc, fr, 0.0
+        )  # (BAND, NT)
+
+        def mix(tref):
+            block = tref[pl.ds(band, BAND), :] if BAND < H else tref[:]
+            C = jax.lax.dot_general(
+                block, colw,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BAND, NT)
+            return jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
+
+        i1w = mix(t_i_ref)
+        gxw = mix(t_gx_ref)
+        gyw = mix(t_gy_ref)
+
+        validf = valid.astype(jnp.float32)
+        resid = (i1w - i0) * validf
+        G = jnp.concatenate(
+            [
+                (gxw * Ju0) * validf,
+                (gyw * Jv1) * validf,
+                (gxw * Ju2 + gyw * Jv2) * validf,
+                (gxw * Ju3 + gyw * Jv3) * validf,
+                (gxw * Ju4 + gyw * Jv4) * validf,
+                (gxw * Ju5 + gyw * Jv5) * validf,
+                resid,
+                validf,
+            ],
+            axis=0,
+        )  # (8, NT)
+        gram = jax.lax.dot_general(
+            G, G, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, NT)
-        return jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
+        )
+        return gram
 
-    i1w = mix(t_i_ref)
-    gxw = mix(t_gx_ref)
-    gyw = mix(t_gy_ref)
+    if n_tiles == 1:
+        total = tile_gram(0)
+    else:
+        total = jax.lax.fori_loop(
+            0, n_tiles, lambda t, acc: acc + tile_gram(t),
+            jnp.zeros((8, 8), jnp.float32),
+        )
+    return total
 
-    validf = valid.astype(jnp.float32)
-    resid = (i1w - i0) * validf
-    G = jnp.concatenate(
-        [
-            (gxw * Ju0) * validf,
-            (gyw * Jv1) * validf,
-            (gxw * Ju2 + gyw * Jv2) * validf,
-            (gxw * Ju3 + gyw * Jv3) * validf,
-            (gxw * Ju4 + gyw * Jv4) * validf,
-            (gxw * Ju5 + gyw * Jv5) * validf,
-            resid,
-            validf,
-        ],
-        axis=0,
-    )  # (8, NT)
-    gram = jax.lax.dot_general(
-        G, G, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+
+def _fused_kernel(
+    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    out_ref, *, H, W, NT, bilinear,
+):
+    """One linearization per call: reads the state from SMEM, emits the 8x8
+    Gram. Used by the per-iteration linearizer API (make_fused_linearizer).
+
+    Layout rules (shared with _linearize_gram): pixels live on the LANE axis
+    ((1, NT) per-pixel rows), sampling masks are (W, NT)/(BAND, NT) built by
+    sublane-broadcast iota compares — no sublane<->lane reshape anywhere.
+    Sampling is dot(target rows, column-mask) on the MXU, then a row-mask
+    multiply + sublane reduction; the Gram is one (8, NT)x(NT, 8)
+    dot_general. The (N, 6) Jacobian never exists outside registers.
+    """
+    gram = _linearize_gram(
+        state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
+        state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
+        const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
+        const_ref[0, 4], const_ref[0, 5],
+        i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+        H=H, W=W, NT=NT, bilinear=bilinear,
     )
-    acc_ref[:] = acc_ref[:] + gram
+    out_ref[:] = gram
 
-    @pl.when(step == n_steps - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
+
+def _fused_gn_kernel(
+    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    state_out_ref, diag_out_ref,
+    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+):
+    """An ENTIRE Gauss-Newton level in one kernel invocation.
+
+    Runs the reference's per-level loop (linearize -> g = J^T r ->
+    x -= lambda (J^T J)^{-1} g -> terminate on iteration budget or ||g||,
+    CPhotoconsistencyOdometryAnalytic.h:499-563) as an in-kernel
+    lax.while_loop with an unrolled scalar Cholesky solve — one pallas call
+    per LEVEL instead of one per iteration (each call costs ~15 us of
+    launch/DMA latency; the reference schedules run 75 iterations/frame).
+
+    state_out_ref (SMEM, (1, 8)): final [x y z yaw pitch roll 0 0].
+    diag_out_ref (SMEM, (1, 8)): [iterations, ||g||, cost, num_valid, 0...].
+    """
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    minD = const_ref[0, 4]
+    maxD = const_ref[0, 5]
+
+    def linearize(s0, s1, s2, s3, s4, s5):
+        return _linearize_gram(
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
+            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+            H=H, W=W, NT=NT, bilinear=bilinear,
+        )
+
+    def cond(carry):
+        it, gnorm = carry[6], carry[7]
+        return (it < max_iterations) & (gnorm >= min_gradient_norm)
+
+    def body(carry):
+        s = carry[:6]
+        gram = linearize(*s)
+        # unrolled 6x6 Cholesky solve of (JtJ) step = Jtr on scalars
+        A = [[gram[i, j] for j in range(6)] for i in range(6)]
+        b = [gram[i, 6] for i in range(6)]
+        L = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            acc = A[i][i]
+            for k in range(i):
+                acc = acc - L[i][k] * L[i][k]
+            L[i][i] = jnp.sqrt(jnp.maximum(acc, 1e-30))
+            inv_d = 1.0 / L[i][i]
+            for j in range(i + 1, 6):
+                acc = A[j][i]
+                for k in range(i):
+                    acc = acc - L[j][k] * L[i][k]
+                L[j][i] = acc * inv_d
+        ys = [None] * 6
+        for i in range(6):
+            acc = b[i]
+            for k in range(i):
+                acc = acc - L[i][k] * ys[k]
+            ys[i] = acc / L[i][i]
+        xs = [None] * 6
+        for i in range(5, -1, -1):
+            acc = ys[i]
+            for k in range(i + 1, 6):
+                acc = acc - L[k][i] * xs[k]
+            xs[i] = acc / L[i][i]
+        # non-finite guard: freeze instead of diverging
+        finite = jnp.isfinite(xs[0])
+        for k in range(1, 6):
+            finite = finite & jnp.isfinite(xs[k])
+        new_s = tuple(
+            jnp.where(finite, s[k] - lambda_step * xs[k], s[k]) for k in range(6)
+        )
+        gnorm = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
+        return new_s + (carry[6] + 1.0, gnorm, gram[6, 6], gram[7, 7])
+
+    init = (
+        state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
+        state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
+        jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    for k in range(6):
+        state_out_ref[0, k] = final[k]
+    state_out_ref[0, 6] = jnp.float32(0.0)
+    state_out_ref[0, 7] = jnp.float32(0.0)
+    diag_out_ref[0, 0] = final[6]
+    diag_out_ref[0, 1] = jnp.where(jnp.isfinite(final[7]), final[7], 0.0)
+    diag_out_ref[0, 2] = final[8]
+    diag_out_ref[0, 3] = final[9]
+    for k in range(4, 8):
+        diag_out_ref[0, k] = jnp.float32(0.0)
 
 
 def make_fused_linearizer(
@@ -359,19 +486,17 @@ def make_fused_linearizer(
     ).reshape(1, 8)
     call = pl.pallas_call(
         kernel,
-        grid=(H * W // NT,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32)],
         interpret=interpret,
     )
 
@@ -386,6 +511,73 @@ def make_fused_linearizer(
         )
 
     return linearize
+
+
+def fused_gn_level(
+    source_intensity, source_depth, tgt_cols, intr,
+    init_state,
+    min_depth, max_depth,
+    max_iterations: int, min_gradient_norm: float, lambda_step: float,
+    sampling: str = "nearest", interpret: bool = False,
+):
+    """Run a whole Gauss-Newton pyramid level as ONE pallas call.
+
+    Returns (state (6,), iterations, gradient_norm, cost, num_valid) with
+    GNLevelResult-compatible semantics (solvers/gauss_newton.py): an update
+    is performed, then its gradient norm gates the next iteration.
+    """
+    H, W = source_intensity.shape
+    NT = _pick_tile_pixels(H, W)
+    t_i, t_gx, t_gy = tgt_cols
+    kernel = functools.partial(
+        _fused_gn_kernel, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear"),
+        max_iterations=float(max_iterations),
+        min_gradient_norm=float(min_gradient_norm),
+        lambda_step=float(lambda_step),
+    )
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+    st = jnp.concatenate(
+        [jnp.asarray(init_state, jnp.float32), jnp.zeros(2, jnp.float32)]
+    ).reshape(1, 8)
+    state_out, diag = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        st, const,
+        source_intensity.reshape(1, H * W), source_depth.reshape(1, H * W),
+        t_i, t_gx, t_gy,
+    )
+    return (
+        state_out[0, :6],
+        diag[0, 0].astype(jnp.int32),
+        diag[0, 1],
+        diag[0, 2],
+        diag[0, 3],
+    )
 
 
 def fused_normal_equations_pallas(

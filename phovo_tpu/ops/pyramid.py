@@ -128,12 +128,40 @@ def scharr_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _pow2_factor(n_in: int, n_out: int) -> int | None:
+    """k such that n_in == n_out * 2^k (exact power-of-two downscale)."""
+    if n_out <= 0 or n_in % n_out:
+        return None
+    q = n_in // n_out
+    return q.bit_length() - 1 if q & (q - 1) == 0 and q > 1 else None
+
+
 def resize_bilinear(img: jax.Array, out_shape: tuple[int, int]) -> jax.Array:
-    """Bilinear resize of (..., H, W) to (..., H', W') via two matmuls."""
+    """Bilinear resize of (..., H, W) to (..., H', W'), OpenCV INTER_LINEAR
+    coordinate convention.
+
+    Fast path: for an exact 1/2^k downscale the source coordinate
+    (d + 0.5) * 2^k - 0.5 always has fractional part 0.5, so every output is
+    the average of exactly two adjacent pixels at stride 2^k — a strided
+    slice + add (fusable VPU work) instead of a dense matmul. This covers
+    every pyramid level of even-sized frames (e.g. all of VGA); other shapes
+    fall back to the banded-matmul path.
+    """
     H, W = img.shape[-2:]
     Ho, Wo = out_shape
     if (H, W) == (Ho, Wo):
         return img
+    kr = _pow2_factor(H, Ho)
+    kc = _pow2_factor(W, Wo)
+    if kr is not None and kc is not None:
+        sr, sc = 1 << kr, 1 << kc
+        offr, offc = sr // 2 - 1, sc // 2 - 1
+        rows_a = img[..., offr::sr, :][..., :Ho, :]
+        rows_b = img[..., offr + 1 :: sr, :][..., :Ho, :]
+        rows = 0.5 * (rows_a + rows_b)
+        cols_a = rows[..., offc::sc][..., :Wo]
+        cols_b = rows[..., offc + 1 :: sc][..., :Wo]
+        return 0.5 * (cols_a + cols_b)
     Ar = jnp.asarray(resize_matrix(H, Ho))
     Ac = jnp.asarray(resize_matrix(W, Wo))
     return jnp.einsum(
@@ -142,34 +170,46 @@ def resize_bilinear(img: jax.Array, out_shape: tuple[int, int]) -> jax.Array:
     )
 
 
+def _sep_filter(img: jax.Array, kr, kc) -> jax.Array:
+    """Separable correlation with reflect-101 borders via shifted adds
+    (pure fusable VPU work; jnp.pad mode='reflect' IS reflect-101)."""
+    hr, hc = len(kr) // 2, len(kc) // 2
+    out = img
+    if len(kr) > 1:
+        p = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(hr, hr), (0, 0)], mode="reflect")
+        H = img.shape[-2]
+        out = sum(
+            float(kr[t]) * jax.lax.slice_in_dim(p, t, t + H, axis=-2)
+            for t in range(len(kr))
+        )
+    if len(kc) > 1:
+        p = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (hc, hc)], mode="reflect")
+        W = img.shape[-1]
+        out = sum(
+            float(kc[t]) * jax.lax.slice_in_dim(p, t, t + W, axis=-1)
+            for t in range(len(kc))
+        )
+    return out
+
+
 def gaussian_blur(img: jax.Array, ksize: int, sigma: float = 3.0) -> jax.Array:
     """Separable Gaussian blur with reflect-101 borders (one pass)."""
     if ksize <= 0:
         return img
-    H, W = img.shape[-2:]
-    Gr = jnp.asarray(gaussian_matrix(H, ksize, sigma))
-    Gc = jnp.asarray(gaussian_matrix(W, ksize, sigma))
-    return jnp.einsum(
-        "ij,...jk,lk->...il", Gr, img, Gc, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    )
+    k = _gaussian_kernel_1d(ksize, sigma)
+    return _sep_filter(img, k, k)
 
 
 def scharr(img: jax.Array, axis: str, scale: float = 1.0) -> jax.Array:
     """Scharr gradient of (..., H, W). axis='x' for d/dcol, 'y' for d/drow."""
-    H, W = img.shape[-2:]
-    deriv_r, smooth_r = scharr_matrices(H)
-    deriv_c, smooth_c = scharr_matrices(W)
+    deriv = [-1.0, 0.0, 1.0]
+    smooth = [3.0, 10.0, 3.0]
     if axis == "x":
-        Ar, Ac = jnp.asarray(smooth_r), jnp.asarray(deriv_c)
+        out = _sep_filter(img, smooth, deriv)
     elif axis == "y":
-        Ar, Ac = jnp.asarray(deriv_r), jnp.asarray(smooth_c)
+        out = _sep_filter(img, deriv, smooth)
     else:
         raise ValueError(f"axis must be 'x' or 'y', got {axis!r}")
-    out = jnp.einsum(
-        "ij,...jk,lk->...il", Ar, img, Ac, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
-    )
     return out * jnp.asarray(scale, dtype=out.dtype)
 
 
