@@ -6,11 +6,15 @@ residuals with separated rigid/projection Jacobians. The depth channel is
 weighted by gain = mean(I1)/mean(D1) (…BiObjective.h:299) recomputed per
 level from the (fixed) target pyramids.
 
+On TPU, coarse levels run as one whole-level fused Pallas kernel with the
+depth channel folded into a 16x16 Gram (ops/fused.py _fused_gn_bi_kernel);
+fine levels and CPU use the vectorized XLA pipeline.
+
 Deliberate divergences (see ops/residuals.py module docstring):
   - corrected 2N residual stacking: the reference interleaves intensity rows
     at index i and depth rows at index 2i, overlapping for even i so depth
     rows overwrite half the intensity rows (…BiObjective.h:420-442); here the
-    two channels are disjoint planes of a (2, H, W) field;
+    two channels are disjoint;
   - the depth residual pairs D1(warped) with the transformed source depth,
     consistent with its own Jacobian's -Rt_z term.
 """
@@ -23,14 +27,15 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.ops.residuals import biobjective_residual_jacobian, normal_equations
-from phovo_tpu.solvers.gauss_newton import gauss_newton_level
+from phovo_tpu.solvers.gauss_newton import GNLevelResult, gauss_newton_level
 from phovo_tpu.utils.config import PhovoConfig
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "use_fused"))
 def align_biobjective(
     source_intensity: jax.Array,
     source_depth: jax.Array,
@@ -39,6 +44,7 @@ def align_biobjective(
     intr: Intrinsics,
     init_state: jax.Array,
     config: PhovoConfig,
+    use_fused: bool = True,
 ) -> AlignmentResult:
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
@@ -53,17 +59,46 @@ def align_biobjective(
     dep1_norm = [d * (1.0 / config.max_depth) for d in dep1]
     dgx1, dgy1 = pyr.build_gradient_pyramid(dep1_norm, scales)
 
+    fused_ok = (
+        use_fused
+        and config.gradient_at == "warped"
+        and fused_ops._HAS_PALLAS
+        and jax.default_backend() == "tpu"
+    )
+
     state = jnp.asarray(init_state, jnp.float32)
     diags = [None] * L
     for level in range(L - 1, -1, -1):
         intr_l = intr.at_level(level)
         gain = jnp.mean(int1[level]) / jnp.mean(dep1[level])
+        H = int1[level].shape[0]
 
-        def linearize(s, _lvl=level, _gain=gain):
+        if (
+            fused_ok
+            and H <= fused_ops.FUSED_MAX_H
+            and config.max_iterations[level] > 0
+        ):
+            st, its, gnorm, cost, nvalid = fused_ops.fused_gn_level(
+                int0[level], dep0[level],
+                (int1[level], gx1[level], gy1[level]),
+                intr_l, state,
+                config.min_depth, config.max_depth,
+                config.max_iterations[level],
+                config.min_gradient_norms[level],
+                config.lambda_steps[level],
+                config.sampling,
+                depth_cols=(dep1[level], dgx1[level], dgy1[level]),
+                depth_gain=gain,
+            )
+            state = st
+            diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
+            continue
+
+        def linearize(s, _lvl=level, _gain=gain, _intr=intr_l):
             r, J, valid = biobjective_residual_jacobian(
                 int0[_lvl], dep0[_lvl], int1[_lvl], dep1[_lvl],
                 gx1[_lvl], gy1[_lvl], dgx1[_lvl], dgy1[_lvl],
-                s, intr_l,
+                s, _intr,
                 min_depth=config.min_depth, max_depth=config.max_depth,
                 sampling=config.sampling, gradient_at=config.gradient_at,
                 depth_gain=_gain,
@@ -93,5 +128,11 @@ class PhotoconsistencyOdometryBiObjective(PhotoconsistencyOdometryBase):
     """Object API over `align_biobjective` (reference class:
     CPhotoconsistencyOdometryBiObjective, …BiObjective.h:57)."""
 
+    def __init__(self, config: PhovoConfig | None = None, use_fused: bool = True):
+        super().__init__(config)
+        self.use_fused = use_fused
+
     def align(self, si, sd, ti, td, intr, init_state) -> AlignmentResult:
-        return align_biobjective(si, sd, ti, td, intr, init_state, self.config)
+        return align_biobjective(
+            si, sd, ti, td, intr, init_state, self.config, self.use_fused
+        )

@@ -169,12 +169,20 @@ def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 4_000_000) -> int:
 
 def _linearize_gram(
     x, y, z, yaw, pitch, roll, fx, fy, cx, cy, minD, maxD,
-    i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref, *, H, W, NT, bilinear,
+    i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    bi_refs=None, gain=None, *, H, W, NT, bilinear,
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
-    MXU one/two-hot sampling + the 8x8 Gram of [J0..J5, r, valid]
-    (see _fused_kernel docstring for the layout rules)."""
+    MXU one/two-hot sampling + the Gram of [J0..J5, r, valid]
+    (see _fused_kernel docstring for the layout rules).
+
+    With bi_refs = (t_d_ref, t_dgx_ref, t_dgy_ref) and a depth gain, adds
+    the bi-objective depth channel (reference BiObjective backend,
+    CPhotoconsistencyOdometryBiObjective.h:241-452): residual
+    gain*(D1(warped) - tz) and Jacobian gain*(gradD . J_pix - J_rt_z),
+    emitted as a 16x16 Gram with the intensity block in rows/cols 0..7 and
+    the depth block in 8..15."""
     cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     cr, sr = jnp.cos(roll), jnp.sin(roll)
@@ -314,31 +322,49 @@ def _linearize_gram(
 
         validf = valid.astype(jnp.float32)
         resid = (i1w - i0) * validf
-        G = jnp.concatenate(
-            [
-                (gxw * Ju0) * validf,
-                (gyw * Jv1) * validf,
-                (gxw * Ju2 + gyw * Jv2) * validf,
-                (gxw * Ju3 + gyw * Jv3) * validf,
-                (gxw * Ju4 + gyw * Jv4) * validf,
-                (gxw * Ju5 + gyw * Jv5) * validf,
-                resid,
-                validf,
-            ],
-            axis=0,
-        )  # (8, NT)
+        cols_int = [
+            (gxw * Ju0) * validf,
+            (gyw * Jv1) * validf,
+            (gxw * Ju2 + gyw * Jv2) * validf,
+            (gxw * Ju3 + gyw * Jv3) * validf,
+            (gxw * Ju4 + gyw * Jv4) * validf,
+            (gxw * Ju5 + gyw * Jv5) * validf,
+            resid,
+            validf,
+        ]
+        if bi_refs is None:
+            G = jnp.concatenate(cols_int, axis=0)  # (8, NT)
+        else:
+            t_d_ref, t_dgx_ref, t_dgy_ref = bi_refs
+            d1w = mix(t_d_ref)
+            dgxw = mix(t_dgx_ref)
+            dgyw = mix(t_dgy_ref)
+            r_dep = gain * (d1w - tz) * validf
+            # J_rt z-row is [0, 0, 1, 0, rp2, rr2] (dR/dyaw has zero 3rd row)
+            cols_dep = [
+                gain * (dgxw * Ju0) * validf,
+                gain * (dgyw * Jv1) * validf,
+                gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * validf,
+                gain * (dgxw * Ju3 + dgyw * Jv3) * validf,
+                gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * validf,
+                gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * validf,
+                r_dep,
+                jnp.zeros_like(validf),
+            ]
+            G = jnp.concatenate(cols_int + cols_dep, axis=0)  # (16, NT)
         gram = jax.lax.dot_general(
             G, G, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return gram
 
+    GD = 8 if bi_refs is None else 16
     if n_tiles == 1:
         total = tile_gram(0)
     else:
         total = jax.lax.fori_loop(
             0, n_tiles, lambda t, acc: acc + tile_gram(t),
-            jnp.zeros((8, 8), jnp.float32),
+            jnp.zeros((GD, GD), jnp.float32),
         )
     return total
 
@@ -368,36 +394,14 @@ def _fused_kernel(
     out_ref[:] = gram
 
 
-def _fused_gn_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-    state_out_ref, diag_out_ref,
-    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+def _run_gn_loop(
+    linearize, state_ref, state_out_ref, diag_out_ref,
+    max_iterations, min_gradient_norm, lambda_step, bi,
 ):
-    """An ENTIRE Gauss-Newton level in one kernel invocation.
-
-    Runs the reference's per-level loop (linearize -> g = J^T r ->
-    x -= lambda (J^T J)^{-1} g -> terminate on iteration budget or ||g||,
-    CPhotoconsistencyOdometryAnalytic.h:499-563) as an in-kernel
-    lax.while_loop with an unrolled scalar Cholesky solve — one pallas call
-    per LEVEL instead of one per iteration (each call costs ~15 us of
-    launch/DMA latency; the reference schedules run 75 iterations/frame).
-
-    state_out_ref (SMEM, (1, 8)): final [x y z yaw pitch roll 0 0].
-    diag_out_ref (SMEM, (1, 8)): [iterations, ||g||, cost, num_valid, 0...].
-    """
-    fx = const_ref[0, 0]
-    fy = const_ref[0, 1]
-    cx = const_ref[0, 2]
-    cy = const_ref[0, 3]
-    minD = const_ref[0, 4]
-    maxD = const_ref[0, 5]
-
-    def linearize(s0, s1, s2, s3, s4, s5):
-        return _linearize_gram(
-            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
-            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-            H=H, W=W, NT=NT, bilinear=bilinear,
-        )
+    """Shared in-kernel Gauss-Newton driver: lax.while_loop over iterations
+    with an unrolled scalar Cholesky solve. linearize(s0..s5) -> Gram
+    ((8,8) photometric or (16,16) bi-objective; the depth block is summed
+    into the normal equations)."""
 
     def cond(carry):
         it, gnorm = carry[6], carry[7]
@@ -406,9 +410,18 @@ def _fused_gn_kernel(
     def body(carry):
         s = carry[:6]
         gram = linearize(*s)
-        # unrolled 6x6 Cholesky solve of (JtJ) step = Jtr on scalars
-        A = [[gram[i, j] for j in range(6)] for i in range(6)]
-        b = [gram[i, 6] for i in range(6)]
+        if bi:
+            A = [
+                [gram[i, j] + gram[8 + i, 8 + j] for j in range(6)]
+                for i in range(6)
+            ]
+            b = [gram[i, 6] + gram[8 + i, 14] for i in range(6)]
+            cost = gram[6, 6] + gram[14, 14]
+        else:
+            A = [[gram[i, j] for j in range(6)] for i in range(6)]
+            b = [gram[i, 6] for i in range(6)]
+            cost = gram[6, 6]
+        nvalid = gram[7, 7]
         L = [[None] * 6 for _ in range(6)]
         for i in range(6):
             acc = A[i][i]
@@ -441,7 +454,7 @@ def _fused_gn_kernel(
             jnp.where(finite, s[k] - lambda_step * xs[k], s[k]) for k in range(6)
         )
         gnorm = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
-        return new_s + (carry[6] + 1.0, gnorm, gram[6, 6], gram[7, 7])
+        return new_s + (carry[6] + 1.0, gnorm, cost, nvalid)
 
     init = (
         state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
@@ -459,6 +472,75 @@ def _fused_gn_kernel(
     diag_out_ref[0, 3] = final[9]
     for k in range(4, 8):
         diag_out_ref[0, k] = jnp.float32(0.0)
+
+
+def _fused_gn_kernel(
+    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    state_out_ref, diag_out_ref,
+    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+):
+    """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
+
+    Runs the reference's per-level loop (linearize -> g = J^T r ->
+    x -= lambda (J^T J)^{-1} g -> terminate on iteration budget or ||g||,
+    CPhotoconsistencyOdometryAnalytic.h:499-563) as an in-kernel
+    lax.while_loop with an unrolled scalar Cholesky solve — one pallas call
+    per LEVEL instead of one per iteration (each call costs ~15 us of
+    launch/DMA latency; the reference schedules run 75 iterations/frame).
+
+    state_out_ref (SMEM, (1, 8)): final [x y z yaw pitch roll 0 0].
+    diag_out_ref (SMEM, (1, 8)): [iterations, ||g||, cost, num_valid, 0...].
+    """
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    minD = const_ref[0, 4]
+    maxD = const_ref[0, 5]
+
+    def linearize(s0, s1, s2, s3, s4, s5):
+        return _linearize_gram(
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
+            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+            H=H, W=W, NT=NT, bilinear=bilinear,
+        )
+
+    _run_gn_loop(
+        linearize, state_ref, state_out_ref, diag_out_ref,
+        max_iterations, min_gradient_norm, lambda_step, bi=False,
+    )
+
+
+def _fused_gn_bi_kernel(
+    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    t_d_ref, t_dgx_ref, t_dgy_ref,
+    state_out_ref, diag_out_ref,
+    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+):
+    """Bi-objective (intensity + depth) Gauss-Newton level in one kernel.
+
+    const_ref slot 6 carries the depth-component gain mean(I1)/mean(D1)
+    (CPhotoconsistencyOdometryBiObjective.h:299)."""
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    minD = const_ref[0, 4]
+    maxD = const_ref[0, 5]
+    gain = const_ref[0, 6]
+
+    def linearize(s0, s1, s2, s3, s4, s5):
+        return _linearize_gram(
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
+            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+            bi_refs=(t_d_ref, t_dgx_ref, t_dgy_ref), gain=gain,
+            H=H, W=W, NT=NT, bilinear=bilinear,
+        )
+
+    _run_gn_loop(
+        linearize, state_ref, state_out_ref, diag_out_ref,
+        max_iterations, min_gradient_norm, lambda_step, bi=True,
+    )
 
 
 def make_fused_linearizer(
@@ -519,44 +601,51 @@ def fused_gn_level(
     min_depth, max_depth,
     max_iterations: int, min_gradient_norm: float, lambda_step: float,
     sampling: str = "nearest", interpret: bool = False,
+    depth_cols=None, depth_gain=None,
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
 
     Returns (state (6,), iterations, gradient_norm, cost, num_valid) with
     GNLevelResult-compatible semantics (solvers/gauss_newton.py): an update
     is performed, then its gradient norm gates the next iteration.
+
+    depth_cols = (target_depth, depth_grad_x, depth_grad_y) with depth_gain
+    switches to the bi-objective intensity+depth objective.
     """
     H, W = source_intensity.shape
     NT = _pick_tile_pixels(H, W)
     t_i, t_gx, t_gy = tgt_cols
+    bi = depth_cols is not None
+    kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
     kernel = functools.partial(
-        _fused_gn_kernel, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear"),
+        kern_fn, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear"),
         max_iterations=float(max_iterations),
         min_gradient_norm=float(min_gradient_norm),
         lambda_step=float(lambda_step),
     )
+    gain = jnp.float32(0.0) if depth_gain is None else jnp.asarray(depth_gain, jnp.float32)
     const = jnp.stack(
         [
             jnp.float32(intr.fx), jnp.float32(intr.fy),
             jnp.float32(intr.cx), jnp.float32(intr.cy),
             jnp.float32(min_depth), jnp.float32(max_depth),
-            jnp.float32(0), jnp.float32(0),
+            gain, jnp.float32(0),
         ]
     ).reshape(1, 8)
     st = jnp.concatenate(
         [jnp.asarray(init_state, jnp.float32), jnp.zeros(2, jnp.float32)]
     ).reshape(1, 8)
+    inputs = [
+        st, const,
+        source_intensity.reshape(1, H * W), source_depth.reshape(1, H * W),
+        t_i, t_gx, t_gy,
+    ]
+    if bi:
+        inputs.extend(depth_cols)
     state_out, diag = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 2),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -566,11 +655,7 @@ def fused_gn_level(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(
-        st, const,
-        source_intensity.reshape(1, H * W), source_depth.reshape(1, H * W),
-        t_i, t_gx, t_gy,
-    )
+    )(*inputs)
     return (
         state_out[0, :6],
         diag[0, 0].astype(jnp.int32),

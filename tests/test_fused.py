@@ -95,6 +95,76 @@ def test_align_with_fused_matches_unfused(intr, small_pair):
     np.testing.assert_allclose(np.asarray(s_fused), gt, atol=5e-3)
 
 
+@pytest.mark.parametrize("sampling", ["nearest", "bilinear"])
+def test_fused_gn_level_interpret_matches_solver(intr, small_pair, sampling):
+    """The whole-level in-kernel GN (interpret mode) must match the XLA
+    gauss_newton_level driving the same linearization."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    import functools
+
+    from phovo_tpu.solvers.gauss_newton import gauss_newton_level
+
+    I0, D0, I1, _, _ = small_pair
+    I0, D0, I1 = map(jnp.asarray, (I0, D0, I1))
+    gx = I1 * 0.3 + 0.05
+    gy = I1 * -0.2 + 0.02
+    tgt = F.pack_target_colmajor(I1, gx, gy)
+
+    st, its, gnorm, cost, nvalid = F.fused_gn_level(
+        I0, D0, tgt, intr, jnp.zeros(6), 0.3, 5.0,
+        max_iterations=6, min_gradient_norm=1e-10, lambda_step=1.0,
+        sampling=sampling, interpret=True,
+    )
+
+    def linearize(s):
+        return F.packed_normal_equations(
+            I0, D0, F.pack_target(I1, gx, gy), s, intr, 0.3, 5.0, sampling
+        )
+
+    ref = gauss_newton_level(linearize, jnp.zeros(6), 6, 1e-10, 1.0)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(ref.state), atol=2e-4)
+    assert int(its) == int(ref.iterations)
+    # the kernel's banded row window may mask a handful of pixels at the
+    # band boundary (documented divergence, ops/fused.py)
+    assert abs(float(nvalid) - float(ref.num_valid)) <= 0.002 * float(ref.num_valid)
+
+
+def test_biobjective_fused_gn_level_interpret(intr, small_pair):
+    """Bi-objective whole-level kernel vs the XLA bi-objective solver."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.ops.residuals import biobjective_residual_jacobian
+    from phovo_tpu.solvers.gauss_newton import gauss_newton_level
+
+    I0, D0, I1, D1, _ = small_pair
+    I0, D0, I1, D1 = map(jnp.asarray, (I0, D0, I1, D1))
+    gx = I1 * 0.3 + 0.05
+    gy = I1 * -0.2 + 0.02
+    dgx = D1 * 0.05
+    dgy = D1 * -0.03
+    gain = jnp.mean(I1) / jnp.mean(D1)
+
+    st, its, gnorm, cost, nvalid = F.fused_gn_level(
+        I0, D0, (I1, gx, gy), intr, jnp.zeros(6), 0.3, 5.0,
+        max_iterations=5, min_gradient_norm=1e-10, lambda_step=1.0,
+        sampling="bilinear", interpret=True,
+        depth_cols=(D1, dgx, dgy), depth_gain=gain,
+    )
+
+    def linearize(s):
+        r, J, valid = biobjective_residual_jacobian(
+            I0, D0, I1, D1, gx, gy, dgx, dgy, s, intr,
+            min_depth=0.3, max_depth=5.0, sampling="bilinear",
+            gradient_at="warped", depth_gain=gain,
+        )
+        return normal_equations(r, J, valid)
+
+    ref = gauss_newton_level(linearize, jnp.zeros(6), 5, 1e-10, 1.0)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(ref.state), atol=2e-4)
+    assert int(its) == int(ref.iterations)
+
+
 def test_solve6_matches_linalg():
     import jax
 
