@@ -1,0 +1,41 @@
+"""Chunked (scan) sequence alignment: CLI parity with frame mode."""
+
+import numpy as np
+
+from phovo_tpu.utils.trajectory import read_trajectory
+
+from tests.test_tum_pipeline import tum_dir  # noqa: F401 (fixture)
+
+
+def test_chunked_matches_frame_mode(tum_dir, tmp_path):
+    from phovo_tpu.apps.phovo_vo import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "num_levels: 2\nmax_iterations: [8, 8]\nmin_gradient_norms: [1.0e-9, 1.0e-9]\n"
+        "sampling: bilinear\n"
+    )
+    frame_out = tmp_path / "frame.txt"
+    chunk_out = tmp_path / "chunk.txt"
+    common = ["--config", str(cfg), "--dataset", str(tum_dir),
+              "--intrinsics", "128,128,63.5,47.5", "--quiet"]
+    assert main(common + ["--output", str(frame_out)]) == 0
+    assert main(common + ["--output", str(chunk_out), "--chunk", "2"]) == 0
+    a = read_trajectory(frame_out)
+    b = read_trajectory(chunk_out)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+    np.testing.assert_allclose(a.quaternions, b.quaternions, atol=1e-5)
+
+
+def test_chunk_requires_analytic(tum_dir, tmp_path):
+    from phovo_tpu.apps.phovo_vo import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text("num_levels: 1\nmax_iterations: [2]\n")
+    rc = main([
+        "--config", str(cfg), "--dataset", str(tum_dir),
+        "--output", str(tmp_path / "x.txt"), "--intrinsics", "128,128,63.5,47.5",
+        "--chunk", "4", "--backend", "ceres", "--quiet",
+    ])
+    assert rc == 1
