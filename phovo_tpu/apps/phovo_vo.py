@@ -107,8 +107,12 @@ def _main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 1
+        import os
+
         seq = native_loader.NativeTUMSequence(
-            args.dataset, depth_scale=args.depth_scale, pairing=args.pairing
+            args.dataset, depth_scale=args.depth_scale, pairing=args.pairing,
+            prefetch=max(8, 2 * args.chunk + 2),
+            threads=min(8, max(2, (os.cpu_count() or 4) - 2)),
         )
     else:
         seq = TUMSequence(
@@ -224,49 +228,89 @@ def _run_chunked(args, cfg, intr, seq) -> int:
 
     from phovo_tpu.datasets.tum import prefetch
     from phovo_tpu.models.analytic import align_sequence
-    from phovo_tpu.models.base import as_float_intensity
     from phovo_tpu.ops import se3
     from phovo_tpu.utils.trajectory import TrajectoryWriter
 
-    import jax
     import jax.numpy as jnp
 
-    frames = prefetch(iter(seq))
+    def to_float_host(img):
+        # conversion stays in numpy: per-frame eager device ops are
+        # pathologically slow on remote-attached chips
+        a = np_.asarray(img)
+        if a.dtype == np_.uint8:
+            return a.astype(np_.float32) * np_.float32(1.0 / 255.0)
+        return a.astype(np_.float32)
+
+    from phovo_tpu.datasets.native_loader import NativeTUMSequence
+
     pose = np_.eye(4)
     n_done = 0
-    carry_frame = None
-    with TrajectoryWriter(args.output) as out:
-        while True:
-            chunk = [] if carry_frame is None else [carry_frame]
-            for fr in frames:
-                chunk.append(fr)
-                if len(chunk) >= args.chunk + 1:
-                    break
-            if len(chunk) < 2:
-                break
-            t0 = _time.perf_counter()
-            Is = jnp.asarray(
-                np_.stack([np_.asarray(as_float_intensity(f.intensity)) for f in chunk])
-            )
-            Ds = jnp.asarray(np_.stack([f.depth for f in chunk]))
-            res = align_sequence(Is, Ds, intr, cfg, True, args.warm_start)
-            states = np_.asarray(res.state)  # (len(chunk)-1, 6)
-            dt = _time.perf_counter() - t0
-            for k, fr in enumerate(chunk[1:]):
-                Rt = np_.asarray(se3.pose_matrix(states[k].astype(np_.float64)))
-                pose = pose @ np_.linalg.inv(Rt)
-                out.write(fr.timestamp, pose)
-                n_done += 1
-                if args.max_frames is not None and n_done >= args.max_frames:
-                    break
-            if not args.quiet:
-                print(
-                    f"chunk of {len(chunk) - 1} pairs: {dt:.4f} s "
-                    f"({(len(chunk) - 1) / dt:.1f} pairs/s)"
-                )
+
+    def integrate(states, timestamps, out, dt):
+        nonlocal pose, n_done
+        for k in range(len(states)):
+            Rt = np_.asarray(se3.pose_matrix(states[k].astype(np_.float64)))
+            pose = pose @ np_.linalg.inv(Rt)
+            out.write(timestamps[k], pose)
+            n_done += 1
             if args.max_frames is not None and n_done >= args.max_frames:
-                break
-            carry_frame = chunk[-1]
+                return True
+        if not args.quiet:
+            print(
+                f"chunk of {len(states)} pairs: {dt:.4f} s "
+                f"({len(states) / dt:.1f} pairs/s)"
+            )
+        return False
+
+    with TrajectoryWriter(args.output) as out:
+        if isinstance(seq, NativeTUMSequence):
+            # zero-copy chunk path: the C++ workers decode straight into the
+            # chunk buffers; u8 intensity is converted on device inside the
+            # jitted aligner.
+            it = iter(seq)
+            first = next(it, None)
+            if first is None:
+                return 0
+            H, W = first.intensity.shape
+            carry_i, carry_d, carry_t = first.intensity, first.depth, first.timestamp
+            while True:
+                Ii, Dd, ts = seq.read_chunk(args.chunk, H, W)
+                if len(Ii) == 0:
+                    break
+                t0 = _time.perf_counter()
+                I_all = np_.empty((len(Ii) + 1, H, W), np_.uint8)
+                D_all = np_.empty((len(Ii) + 1, H, W), np_.float32)
+                I_all[0], D_all[0] = carry_i, carry_d
+                I_all[1:], D_all[1:] = Ii, Dd
+                res = align_sequence(
+                    jnp.asarray(I_all), jnp.asarray(D_all), intr, cfg, True,
+                    args.warm_start,
+                )
+                states = np_.asarray(res.state)
+                dt = _time.perf_counter() - t0
+                if integrate(states, ts, out, dt):
+                    break
+                carry_i, carry_d, carry_t = Ii[-1], Dd[-1], ts[-1]
+        else:
+            frames = prefetch(iter(seq))
+            carry_frame = None
+            while True:
+                chunk = [] if carry_frame is None else [carry_frame]
+                for fr in frames:
+                    chunk.append(fr)
+                    if len(chunk) >= args.chunk + 1:
+                        break
+                if len(chunk) < 2:
+                    break
+                t0 = _time.perf_counter()
+                Is = jnp.asarray(np_.stack([to_float_host(f.intensity) for f in chunk]))
+                Ds = jnp.asarray(np_.stack([f.depth for f in chunk]))
+                res = align_sequence(Is, Ds, intr, cfg, True, args.warm_start)
+                states = np_.asarray(res.state)
+                dt = _time.perf_counter() - t0
+                if integrate(states, [f.timestamp for f in chunk[1:]], out, dt):
+                    break
+                carry_frame = chunk[-1]
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
     _maybe_eval(args)

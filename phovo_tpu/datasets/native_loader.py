@@ -92,6 +92,12 @@ class NativeTUMSequence:
             raise FileNotFoundError(err.value.decode() or "native loader open failed")
         self._len = self._lib.phovo_loader_len(self._handle)
         self._closed = False
+        # Worker threads must be joined before interpreter teardown (a live
+        # std::thread at process exit calls std::terminate); __del__ alone is
+        # not guaranteed to run early enough.
+        import atexit
+
+        atexit.register(self.close)
 
     def __len__(self) -> int:
         return self._len
@@ -125,6 +131,45 @@ class NativeTUMSequence:
                 intensity=intensity[: h * w].reshape(h, w).copy(),
                 depth=depth[: h * w].reshape(h, w).copy(),
             )
+
+    def read_chunk(self, n: int, H: int, W: int):
+        """Decode up to n frames directly into contiguous chunk buffers.
+
+        Returns (intensity (m, H, W) uint8, depth (m, H, W) float32,
+        timestamps (m,)) with m <= n (m == 0 at end of stream). The C++
+        workers memcpy into the numpy buffers — no per-frame Python-side
+        copies or stacking (this host's numpy runs at ~120 MB/s; chunk
+        assembly must not touch the pixels in Python)."""
+        intensity = np.empty((n, H, W), dtype=np.uint8)
+        depth = np.empty((n, H, W), dtype=np.float32)
+        ts = np.empty(n, dtype=np.float64)
+        ts_r = ctypes.c_double()
+        ts_d = ctypes.c_double()
+        Ho = ctypes.c_int()
+        Wo = ctypes.c_int()
+        err = ctypes.create_string_buffer(512)
+        m = 0
+        for k in range(n):
+            rc = self._lib.phovo_loader_next(
+                self._handle,
+                intensity[k].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                depth[k].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                H * W,
+                ctypes.byref(ts_r), ctypes.byref(ts_d),
+                ctypes.byref(Ho), ctypes.byref(Wo),
+                err, len(err),
+            )
+            if rc == 1:
+                break
+            if rc != 0:
+                raise IOError(err.value.decode() or "native decode failed")
+            if (Ho.value, Wo.value) != (H, W):
+                raise IOError(
+                    f"frame {k} is {Ho.value}x{Wo.value}, expected {H}x{W}"
+                )
+            ts[m] = ts_r.value
+            m += 1
+        return intensity[:m], depth[:m], ts[:m]
 
     def close(self) -> None:
         if not self._closed and self._handle:

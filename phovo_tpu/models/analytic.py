@@ -42,6 +42,13 @@ def align_analytic(
     use_fused: bool = True,
 ) -> AlignmentResult:
     del target_depth
+    # u8 inputs are converted on device (reference SetSourceFrame's 1/255,
+    # …Analytic.h:470-471) — host-side conversion is slow and quadruples the
+    # host->device transfer.
+    if source_intensity.dtype == jnp.uint8:
+        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    if target_intensity.dtype == jnp.uint8:
+        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     int0 = pyr.build_pyramid(source_intensity, L, blur)

@@ -45,13 +45,25 @@ class AlignmentResult(NamedTuple):
         return se3.pose_matrix(self.state)
 
 
-def as_float_intensity(img) -> jnp.ndarray:
+def as_float_intensity(img) -> np.ndarray:
     """u8 -> float32 * 1/255 (reference SetSourceFrame conversion,
-    …Analytic.h:470-471); float inputs pass through as float32."""
-    arr = jnp.asarray(img)
+    …Analytic.h:470-471); float inputs pass through as float32.
+
+    Host-side numpy on purpose: eager per-op device dispatches are very
+    expensive on remote-attached chips; the jitted align call does the
+    single host->device transfer."""
+    if isinstance(img, jax.Array):
+        return img.astype(jnp.float32)  # already on device; leave it there
+    arr = np.asarray(img)
     if np.issubdtype(arr.dtype, np.integer):
-        return arr.astype(jnp.float32) * (1.0 / 255.0)
-    return arr.astype(jnp.float32)
+        return arr.astype(np.float32) * np.float32(1.0 / 255.0)
+    return arr.astype(np.float32)
+
+
+def _as_float_depth(depth) -> np.ndarray:
+    if isinstance(depth, jax.Array):
+        return depth.astype(jnp.float32)
+    return np.asarray(depth, dtype=np.float32)
 
 
 class PhotoconsistencyOdometryBase:
@@ -83,10 +95,10 @@ class PhotoconsistencyOdometryBase:
         self.config = dataclasses.replace(self.config, max_depth=float(d))
 
     def set_source_frame(self, intensity, depth) -> None:
-        self._source = (as_float_intensity(intensity), jnp.asarray(depth, jnp.float32))
+        self._source = (as_float_intensity(intensity), _as_float_depth(depth))
 
     def set_target_frame(self, intensity, depth) -> None:
-        self._target = (as_float_intensity(intensity), jnp.asarray(depth, jnp.float32))
+        self._target = (as_float_intensity(intensity), _as_float_depth(depth))
 
     def set_initial_state_vector(self, state) -> None:
         self._init_state = jnp.asarray(state, dtype=jnp.float32)

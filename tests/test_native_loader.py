@@ -42,6 +42,47 @@ def test_native_matches_python_loader(tum_dir, pairing):
         np.testing.assert_allclose(a.depth, b.depth, atol=1e-6)
 
 
+def test_read_chunk_matches_iteration(tum_dir):
+    frames = list(TUMSequence(tum_dir))
+    H, W = frames[0].intensity.shape
+    nat = native_loader.NativeTUMSequence(tum_dir)
+    Ii, Dd, ts = nat.read_chunk(3, H, W)
+    assert Ii.shape == (3, H, W) and Ii.dtype == np.uint8
+    for k in range(3):
+        np.testing.assert_array_equal(Ii[k], frames[k].intensity)
+        np.testing.assert_allclose(Dd[k], frames[k].depth, atol=1e-6)
+        assert ts[k] == pytest.approx(frames[k].timestamp)
+    # stream continues where the chunk left off, then ends cleanly
+    Ii2, Dd2, ts2 = nat.read_chunk(10, H, W)
+    assert len(Ii2) == len(frames) - 3
+    Ii3, _, _ = nat.read_chunk(4, H, W)
+    assert len(Ii3) == 0
+    nat.close()
+
+
+def test_align_accepts_u8_intensity(intr, small_pair):
+    import jax.numpy as jnp
+
+    from phovo_tpu.models.analytic import align_analytic
+    from phovo_tpu.utils.config import PhovoConfig
+
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(8, 8), lambda_steps=(1.0, 1.0),
+        min_gradient_norms=(1e-10,) * 2, sampling="bilinear",
+    )
+    I0, D0, I1, D1, gt = small_pair
+    u8 = lambda x: jnp.asarray((np.asarray(x) * 255).astype(np.uint8))
+    f = lambda x: jnp.asarray((np.asarray(x) * 255).astype(np.uint8).astype(np.float32) / 255.0)
+    args_u8 = (u8(I0), jnp.asarray(D0), u8(I1), jnp.asarray(D1), intr, jnp.zeros(6))
+    args_f = (f(I0), jnp.asarray(D0), f(I1), jnp.asarray(D1), intr, jnp.zeros(6))
+    s_u8 = align_analytic(*args_u8, cfg)
+    s_f = align_analytic(*args_f, cfg)
+    np.testing.assert_allclose(
+        np.asarray(s_u8.state), np.asarray(s_f.state), atol=1e-6
+    )
+
+
 def test_native_loader_missing_dataset():
     with pytest.raises(FileNotFoundError):
         native_loader.NativeTUMSequence("/nonexistent_phovo_dataset")
