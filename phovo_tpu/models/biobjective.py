@@ -80,7 +80,9 @@ def align_biobjective(
         ):
             st, its, gnorm, cost, nvalid = fused_ops.fused_gn_level(
                 int0[level], dep0[level],
-                (int1[level], gx1[level], gy1[level]),
+                fused_ops.pack_target_colmajor(
+                    int1[level], gx1[level], gy1[level]
+                ),
                 intr_l, state,
                 config.min_depth, config.max_depth,
                 config.max_iterations[level],

@@ -73,9 +73,15 @@ def pack_target(target_intensity, target_grad_x, target_grad_y):
 
 
 def pack_target_colmajor(target_intensity, target_grad_x, target_grad_y):
-    """Target channels for the Pallas kernel (natural row-major layout; the
-    kernel's mask layout makes transposes unnecessary)."""
-    return (target_intensity, target_grad_x, target_grad_y)
+    """Channel-major (3H, W) stack of the target channels for the Pallas
+    kernel: rows [0,H) intensity, [H,2H) grad-x, [2H,3H) grad-y.
+
+    Stacking lets the kernel sample all three channels with ONE column-mix
+    matmul of lhs height 3*BAND instead of three matmuls of height BAND —
+    the MXU's M axis is 128 deep, so an M=32 band uses 25% of the array and
+    an M=96 stack uses 75% for identical FLOPs (measured ~2x kernel-level
+    speedup at the fine pyramid levels)."""
+    return jnp.concatenate([target_intensity, target_grad_x, target_grad_y], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -145,40 +151,80 @@ def packed_normal_equations(
 # ---------------------------------------------------------------------------
 
 
-def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 4_000_000) -> int:
-    """Pixel-tile size NT: a divisor of H*W that is a multiple of 128 (Pallas
-    lane-blocking requirement) — or H*W itself (full block is always legal) —
-    chosen so the per-step VMEM footprint (mask blocks (W, NT)+(H, NT), the
-    (H, NT) mix, ~40 (8, NT) per-pixel rows) fits the budget."""
+def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 8_000_000):
+    """Pixel tiling (N_padded, NT) for an H x W level.
+
+    The pixel count is padded up to a multiple of 128 (padding pixels carry
+    depth 0 and are masked invalid, contributing exact zeros to the Gram) so
+    that a 128-multiple tile size NT always exists; NT is then the largest
+    divisor of N_padded that (a) fits the VMEM footprint budget and (b) keeps
+    the tile's source-row span small enough for the 32-row banded sampling
+    window (tile_rows*2 <= 32) whenever banding is available (H > 48) —
+    banding halves-or-better the column-mix dot's MAC count, which is the
+    kernel's dominant cost, so a smaller banded tile beats a larger unbanded
+    one."""
     N = H * W
-    # Footprint model: mask blocks (W, NT) + (H, NT), the (H, NT) mix, and
-    # ~40 (8, NT)-padded per-pixel rows — Mosaic's stack allocator keeps
-    # roughly 2x this live (double buffering + temporaries), hence the
-    # conservative budget (validated against the 16 MB scoped-vmem limit).
-    per_px = (2 * W + 2 * H + 8 * 40) * 4
-    candidates = [t for t in range(128, N, 128) if N % t == 0]
-    fitting = [t for t in candidates if t * per_px <= budget_bytes]
-    if N * per_px <= budget_bytes:
-        return N
-    if fitting:
-        return max(fitting)
+    # Footprint model: col mask (W, NT) + stacked row mask/mix (~9*BAND, NT),
+    # ~40 (8, NT)-padded per-pixel rows; Mosaic's allocator keeps roughly 2x
+    # this live (double buffering + temporaries), hence the conservative
+    # budget (validated against the 16 MB scoped-vmem limit).
+    per_px = (W + 9 * 32 + 8 * 40) * 4
+    max_banded_nt = (32 // 2) * W  # tile_rows*2 <= 32
+    base = -(-N // 128) * 128
+
+    best = None  # (score tuple, N_pad, NT)
+    for extra in range(0, 9):
+        N_pad = base + extra * 128
+        candidates = [t for t in range(128, N_pad + 1, 128) if N_pad % t == 0]
+        fitting = [t for t in candidates if t * per_px <= budget_bytes]
+        if not fitting:
+            continue
+        banded = [t for t in fitting if t <= max_banded_nt] if H > 48 else []
+        if banded:
+            # banding halves-or-better the mix dot's MACs; among banded
+            # tilings prefer the largest tile (fewest per-tile overheads),
+            # then the least padding waste
+            nt = max(banded)
+            score = (1, nt, -N_pad)
+        else:
+            # no banding available: padding only adds dead pixels, so take
+            # the least padding first (NT = N_pad single tile always fits)
+            nt = max(fitting)
+            score = (0, -N_pad, nt)
+        if best is None or score > best[0]:
+            best = (score, N_pad, nt)
+    if best is not None:
+        return best[1], best[2]
+    N_pad = base
+    candidates = [t for t in range(128, N_pad + 1, 128) if N_pad % t == 0]
     if candidates:
-        return min(candidates)
-    return N  # no legal tiling; single full block and hope it fits
+        return N_pad, min(candidates)
+    return N_pad, N_pad  # no legal tiling; single full block and hope it fits
+
+
+def _pad_flat(flat: jax.Array, n_pad: int) -> jax.Array:
+    """Pad a (1, N) pixel row to (1, n_pad) with zeros (depth-0 => invalid)."""
+    n = flat.shape[1]
+    if n == n_pad:
+        return flat
+    return jnp.pad(flat, ((0, 0), (0, n_pad - n)))
 
 
 def _linearize_gram(
     x, y, z, yaw, pitch, roll, fx, fy, cx, cy, minD, maxD,
-    i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-    bi_refs=None, gain=None, *, H, W, NT, bilinear,
+    i0_ref, d0_ref, t_all_ref,
+    bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
     MXU one/two-hot sampling + the Gram of [J0..J5, r, valid]
     (see _fused_kernel docstring for the layout rules).
 
-    With bi_refs = (t_d_ref, t_dgx_ref, t_dgy_ref) and a depth gain, adds
-    the bi-objective depth channel (reference BiObjective backend,
+    t_all_ref is the channel-major target stack: (3H, W) photometric
+    [I1; gx; gy], or (6H, W) bi-objective [I1; gx; gy; D1; dgx; dgy].
+
+    With bi=True and a depth gain, adds the bi-objective depth channel
+    (reference BiObjective backend,
     CPhotoconsistencyOdometryBiObjective.h:241-452): residual
     gain*(D1(warped) - tz) and Jacobian gain*(gradD . J_pix - J_rt_z),
     emitted as a 16x16 Gram with the intensity block in rows/cols 0..7 and
@@ -200,7 +246,7 @@ def _linearize_gram(
     dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
     dR21y, dR22y = cp * cr, -cp * sr
 
-    n_tiles = (H * W) // NT
+    n_tiles = NP // NT
 
     def tile_gram(step):
         if n_tiles == 1:
@@ -267,14 +313,19 @@ def _linearize_gram(
         valid = valid & inb
 
         c_lo = jnp.clip(c0, 0, W - 1)
-        c_hi = jnp.clip(c0 + 1, 0, W - 1)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0).astype(jnp.float32)
-        colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
-            iota_w == c_hi, fc, 0.0
-        )  # (W, NT)
+        if bilinear:
+            c_hi = jnp.clip(c0 + 1, 0, W - 1)
+            colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
+                iota_w == c_hi, fc, 0.0
+            )  # (W, NT)
+        else:
+            # nearest: exact one-hot — a single compare/select on the largest
+            # per-iteration array (the two-hot form with fc=0 costs 2.5x)
+            colw = jnp.where(iota_w == c_lo, 1.0, 0.0)
 
         r_lo = jnp.clip(r0, 0, H - 1)
-        r_hi = jnp.clip(r0 + 1, 0, H - 1)
+        r_hi = jnp.clip(r0 + 1, 0, H - 1) if bilinear else r_lo
 
         # Banded row window: the row-mix only needs the target rows this tile's
         # pixels actually land in. For a smooth warp a tile of consecutive
@@ -303,22 +354,68 @@ def _linearize_gram(
             r_hi_loc = r_hi
 
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0).astype(jnp.float32)
-        roww = jnp.where(iota_h == r_lo_loc, 1.0 - fr, 0.0) + jnp.where(
-            iota_h == r_hi_loc, fr, 0.0
-        )  # (BAND, NT)
-
-        def mix(tref):
-            block = tref[pl.ds(band, BAND), :] if BAND < H else tref[:]
-            C = jax.lax.dot_general(
-                block, colw,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if bilinear:
+            roww = jnp.where(iota_h == r_lo_loc, 1.0 - fr, 0.0) + jnp.where(
+                iota_h == r_hi_loc, fr, 0.0
             )  # (BAND, NT)
-            return jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
+        else:
+            roww = jnp.where(iota_h == r_lo_loc, 1.0, 0.0)
 
-        i1w = mix(t_i_ref)
-        gxw = mix(t_gx_ref)
-        gyw = mix(t_gy_ref)
+        # The column-mix dot is the kernel's single most expensive op (the
+        # MXU runs f32 matmuls at 1/4 rate; ablation showed the dots are
+        # ~50% of total kernel time at fine levels). mix_mode selects:
+        #   f32    — exact, slowest (reference/validation mode)
+        #   bf16x2 — hi/lo bfloat16 split: two bf16 dots reproduce the f32
+        #            sample to ~2^-17 relative (well below the u8/255 image
+        #            quantization); ~2x faster than f32
+        #   bf16   — single bf16 dot, ~4x faster, sample error ~4e-3
+        def _dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if mix_mode == "f32":
+            colw_m = colw
+
+            def col_mix(block):
+                return _dot(block, colw_m)
+
+        elif mix_mode == "bf16":
+            colw_m = colw.astype(jnp.bfloat16)
+
+            def col_mix(block):
+                return _dot(block.astype(jnp.bfloat16), colw_m)
+
+        else:  # bf16x2
+            colw_m = colw.astype(jnp.bfloat16)
+
+            def col_mix(block):
+                hi = block.astype(jnp.bfloat16)
+                lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return _dot(hi, colw_m) + _dot(lo, colw_m)
+
+        # All channels are sampled with ONE column-mix matmul: the target is
+        # channel-major stacked (CH*H, W), the banded lhs block is the
+        # concatenation of each channel's BAND-row window, so the dot's M
+        # height is CH*BAND (the MXU M axis is 128 deep — an M=BAND=32 dot
+        # uses a quarter of the array; stacking recovers it at no FLOP cost).
+        CH = 6 if bi else 3
+        if BAND < H:
+            block = jnp.concatenate(
+                [t_all_ref[pl.ds(ch * H + band, BAND), :] for ch in range(CH)],
+                axis=0,
+            )  # (CH*BAND, W)
+        else:
+            block = t_all_ref[:]  # (CH*H, W)
+        C = col_mix(block)  # (CH*BAND, NT)
+        roww_all = jnp.concatenate([roww] * CH, axis=0)
+        M = C * roww_all
+        samples = [
+            jnp.sum(M[ch * BAND : (ch + 1) * BAND], axis=0, keepdims=True)
+            for ch in range(CH)
+        ]
+        i1w, gxw, gyw = samples[0], samples[1], samples[2]
 
         validf = valid.astype(jnp.float32)
         resid = (i1w - i0) * validf
@@ -332,13 +429,10 @@ def _linearize_gram(
             resid,
             validf,
         ]
-        if bi_refs is None:
+        if not bi:
             G = jnp.concatenate(cols_int, axis=0)  # (8, NT)
         else:
-            t_d_ref, t_dgx_ref, t_dgy_ref = bi_refs
-            d1w = mix(t_d_ref)
-            dgxw = mix(t_dgx_ref)
-            dgyw = mix(t_dgy_ref)
+            d1w, dgxw, dgyw = samples[3], samples[4], samples[5]
             r_dep = gain * (d1w - tz) * validf
             # J_rt z-row is [0, 0, 1, 0, rp2, rr2] (dR/dyaw has zero 3rd row)
             cols_dep = [
@@ -358,7 +452,7 @@ def _linearize_gram(
         )
         return gram
 
-    GD = 8 if bi_refs is None else 16
+    GD = 8 if not bi else 16
     if n_tiles == 1:
         total = tile_gram(0)
     else:
@@ -370,8 +464,8 @@ def _linearize_gram(
 
 
 def _fused_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-    out_ref, *, H, W, NT, bilinear,
+    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
+    out_ref, *, H, W, NT, NP, bilinear, mix_mode="f32",
 ):
     """One linearization per call: reads the state from SMEM, emits the 8x8
     Gram. Used by the per-iteration linearizer API (make_fused_linearizer).
@@ -388,8 +482,8 @@ def _fused_kernel(
         state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
         const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
         const_ref[0, 4], const_ref[0, 5],
-        i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-        H=H, W=W, NT=NT, bilinear=bilinear,
+        i0_ref, d0_ref, t_all_ref,
+        H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
     )
     out_ref[:] = gram
 
@@ -475,9 +569,10 @@ def _run_gn_loop(
 
 
 def _fused_gn_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
+    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
     state_out_ref, diag_out_ref,
-    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+    *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
+    mix_mode="f32",
 ):
     """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
 
@@ -501,8 +596,8 @@ def _fused_gn_kernel(
     def linearize(s0, s1, s2, s3, s4, s5):
         return _linearize_gram(
             s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
-            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-            H=H, W=W, NT=NT, bilinear=bilinear,
+            i0_ref, d0_ref, t_all_ref,
+            H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         )
 
     _run_gn_loop(
@@ -512,10 +607,10 @@ def _fused_gn_kernel(
 
 
 def _fused_gn_bi_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-    t_d_ref, t_dgx_ref, t_dgy_ref,
+    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
     state_out_ref, diag_out_ref,
-    *, H, W, NT, bilinear, max_iterations, min_gradient_norm, lambda_step,
+    *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
+    mix_mode="f32",
 ):
     """Bi-objective (intensity + depth) Gauss-Newton level in one kernel.
 
@@ -532,9 +627,9 @@ def _fused_gn_bi_kernel(
     def linearize(s0, s1, s2, s3, s4, s5):
         return _linearize_gram(
             s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
-            i0_ref, d0_ref, t_i_ref, t_gx_ref, t_gy_ref,
-            bi_refs=(t_d_ref, t_dgx_ref, t_dgy_ref), gain=gain,
-            H=H, W=W, NT=NT, bilinear=bilinear,
+            i0_ref, d0_ref, t_all_ref,
+            bi=True, gain=gain,
+            H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         )
 
     _run_gn_loop(
@@ -546,18 +641,20 @@ def _fused_gn_bi_kernel(
 def make_fused_linearizer(
     source_intensity, source_depth, tgt_cols, intr,
     min_depth, max_depth, sampling="nearest", interpret=False,
+    mix_mode="f32",
 ):
     """Build linearize(state) -> NormalEquations with all loop-invariant work
     (flattening, constant SMEM pack, kernel specialization) done once, so a
     GN iteration is exactly ONE pallas_call plus a couple of tiny reshapes."""
     H, W = source_intensity.shape
-    NT = _pick_tile_pixels(H, W)
-    t_i, t_gx, t_gy = tgt_cols
+    NP, NT = _pick_tile_pixels(H, W)
+    t_all = tgt_cols  # (3H, W) channel-major stack from pack_target_colmajor
     kernel = functools.partial(
-        _fused_kernel, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear")
+        _fused_kernel, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
+        mix_mode=mix_mode,
     )
-    i0_flat = source_intensity.reshape(1, H * W)
-    d0_flat = source_depth.reshape(1, H * W)
+    i0_flat = _pad_flat(source_intensity.reshape(1, H * W), NP)
+    d0_flat = _pad_flat(source_depth.reshape(1, H * W), NP)
     const = jnp.stack(
         [
             jnp.float32(intr.fx), jnp.float32(intr.fy),
@@ -574,8 +671,6 @@ def make_fused_linearizer(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
@@ -586,7 +681,7 @@ def make_fused_linearizer(
         st = jnp.concatenate(
             [state.astype(jnp.float32), jnp.zeros(2, jnp.float32)]
         ).reshape(1, 8)
-        gram = call(st, const, i0_flat, d0_flat, t_i, t_gx, t_gy)
+        gram = call(st, const, i0_flat, d0_flat, t_all)
         return NormalEquations(
             JtJ=gram[:6, :6], Jtr=gram[:6, 6], cost=gram[6, 6],
             num_valid=gram[7, 7],
@@ -601,7 +696,7 @@ def fused_gn_level(
     min_depth, max_depth,
     max_iterations: int, min_gradient_norm: float, lambda_step: float,
     sampling: str = "nearest", interpret: bool = False,
-    depth_cols=None, depth_gain=None,
+    depth_cols=None, depth_gain=None, mix_mode: str = "f32",
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
 
@@ -611,17 +706,23 @@ def fused_gn_level(
 
     depth_cols = (target_depth, depth_grad_x, depth_grad_y) with depth_gain
     switches to the bi-objective intensity+depth objective.
+
+    tgt_cols is the (3H, W) channel-major stack from pack_target_colmajor;
+    with depth_cols the kernel sees a (6H, W) stack and samples all six
+    channels with one column-mix matmul per tile.
     """
     H, W = source_intensity.shape
-    NT = _pick_tile_pixels(H, W)
-    t_i, t_gx, t_gy = tgt_cols
+    NP, NT = _pick_tile_pixels(H, W)
+    t_all = tgt_cols
     bi = depth_cols is not None
+    if bi:
+        t_all = jnp.concatenate([t_all] + list(depth_cols), axis=0)  # (6H, W)
     kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
     kernel = functools.partial(
-        kern_fn, H=H, W=W, NT=NT, bilinear=(sampling == "bilinear"),
+        kern_fn, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
         max_iterations=float(max_iterations),
         min_gradient_norm=float(min_gradient_norm),
-        lambda_step=float(lambda_step),
+        lambda_step=float(lambda_step), mix_mode=mix_mode,
     )
     gain = jnp.float32(0.0) if depth_gain is None else jnp.asarray(depth_gain, jnp.float32)
     const = jnp.stack(
@@ -637,11 +738,10 @@ def fused_gn_level(
     ).reshape(1, 8)
     inputs = [
         st, const,
-        source_intensity.reshape(1, H * W), source_depth.reshape(1, H * W),
-        t_i, t_gx, t_gy,
+        _pad_flat(source_intensity.reshape(1, H * W), NP),
+        _pad_flat(source_depth.reshape(1, H * W), NP),
+        t_all,
     ]
-    if bi:
-        inputs.extend(depth_cols)
     state_out, diag = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -668,17 +768,19 @@ def fused_gn_level(
 def fused_normal_equations_pallas(
     source_intensity: jax.Array,
     source_depth: jax.Array,
-    tgt_cols,  # (t_i, t_gx, t_gy) each (H, W), from pack_target_colmajor
+    tgt_cols,  # (3H, W) channel-major stack from pack_target_colmajor
     state: jax.Array,
     intr: Intrinsics,
     min_depth: float,
     max_depth: float,
     sampling: str = "nearest",
     interpret: bool = False,
+    mix_mode: str = "f32",
 ) -> NormalEquations:
     linearize = make_fused_linearizer(
-        source_intensity, source_depth, tuple(tgt_cols), intr,
+        source_intensity, source_depth, tgt_cols, intr,
         float(min_depth), float(max_depth), sampling, interpret,
+        mix_mode=mix_mode,
     )
     return linearize(state)
 

@@ -146,7 +146,7 @@ def test_biobjective_fused_gn_level_interpret(intr, small_pair):
     gain = jnp.mean(I1) / jnp.mean(D1)
 
     st, its, gnorm, cost, nvalid = F.fused_gn_level(
-        I0, D0, (I1, gx, gy), intr, jnp.zeros(6), 0.3, 5.0,
+        I0, D0, F.pack_target_colmajor(I1, gx, gy), intr, jnp.zeros(6), 0.3, 5.0,
         max_iterations=5, min_gradient_norm=1e-10, lambda_step=1.0,
         sampling="bilinear", interpret=True,
         depth_cols=(D1, dgx, dgy), depth_gain=gain,
