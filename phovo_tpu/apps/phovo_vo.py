@@ -37,10 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named preset (default/fr1/fr2/fr3) or 'fx,fy,cx,cy'")
     p.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
     p.add_argument("--pairing", default="associate", choices=["associate", "lockstep"])
-    p.add_argument("--loader", default="auto", choices=["auto", "native", "python"],
-                   help="dataset decode pipeline: the C++ decode-ahead loader "
-                        "(native/libphovo_io.so), the Python/cv2 one, or auto "
-                        "(native when built)")
+    p.add_argument("--loader", default="auto",
+                   choices=["auto", "native", "python", "raw"],
+                   help="dataset pipeline: the C++ decode-ahead loader "
+                        "(native/libphovo_io.so), the Python/cv2 one, the "
+                        "zero-decode raw memmap replay (phovo-convert output; "
+                        "auto-detected by meta.json), or auto")
     p.add_argument("--warm-start", action="store_true",
                    help="initialize each pair from the previous relative pose")
     p.add_argument("--mode", default="frame", choices=["frame", "keyframe"],
@@ -95,11 +97,18 @@ def _main(argv=None) -> int:
     intr = parse_intrinsics(args.intrinsics)
 
     from phovo_tpu.datasets import native_loader
+    from phovo_tpu.datasets import raw as raw_ds
 
-    use_native = args.loader == "native" or (
-        args.loader == "auto" and native_loader.available()
+    use_raw = args.loader == "raw" or (
+        args.loader == "auto" and raw_ds.is_raw_dir(args.dataset)
     )
-    if use_native:
+    use_native = not use_raw and (
+        args.loader == "native"
+        or (args.loader == "auto" and native_loader.available())
+    )
+    if use_raw:
+        seq = raw_ds.RawSequence(args.dataset)
+    elif use_native:
         if not native_loader.available():
             print(
                 "error: native loader requested but native/libphovo_io.so is "
@@ -220,28 +229,25 @@ def _maybe_eval(args) -> None:
 
 def _run_chunked(args, cfg, intr, seq) -> int:
     """Buffered sequence processing: chunks of N frames aligned per device
-    dispatch via align_sequence (overlapping by one frame so every
-    consecutive pair is covered)."""
+    dispatch via align_sequence_chunk.
+
+    The carry frame (last frame of each chunk) stays DEVICE-resident between
+    chunks and chunk assembly happens on device, so per chunk the host moves
+    only the new frames, in storage dtype (uint8 intensity, uint16 depth
+    counts from the raw format). Pose integration for chunk k runs while
+    chunk k+1's transfer+alignment is already dispatched (JAX async
+    dispatch) — host work and device work overlap one chunk deep."""
     import time as _time
 
     import numpy as np_
 
     from phovo_tpu.datasets.tum import prefetch
-    from phovo_tpu.models.analytic import align_sequence
+    from phovo_tpu.models.analytic import align_sequence_chunk
     from phovo_tpu.ops import se3
     from phovo_tpu.utils.trajectory import TrajectoryWriter
 
+    import jax
     import jax.numpy as jnp
-
-    def to_float_host(img):
-        # conversion stays in numpy: per-frame eager device ops are
-        # pathologically slow on remote-attached chips
-        a = np_.asarray(img)
-        if a.dtype == np_.uint8:
-            return a.astype(np_.float32) * np_.float32(1.0 / 255.0)
-        return a.astype(np_.float32)
-
-    from phovo_tpu.datasets.native_loader import NativeTUMSequence
 
     pose = np_.eye(4)
     n_done = 0
@@ -262,55 +268,82 @@ def _run_chunked(args, cfg, intr, seq) -> int:
             )
         return False
 
-    with TrajectoryWriter(args.output) as out:
-        if isinstance(seq, NativeTUMSequence):
-            # zero-copy chunk path: the C++ workers decode straight into the
-            # chunk buffers; u8 intensity is converted on device inside the
-            # jitted aligner.
+    depth_scale = None  # depth already metric float32 unless the seq says so
+    if getattr(seq, "depth_dtype", np_.float32) == np_.uint16:
+        depth_scale = float(seq.depth_scale)
+
+    def chunk_stream():
+        """Yield (I_new (m,H,W) storage dtype, D_new, timestamps (m,))."""
+        if hasattr(seq, "read_chunk"):
             it = iter(seq)
             first = next(it, None)
             if first is None:
-                return 0
+                return
             H, W = first.intensity.shape
-            carry_i, carry_d, carry_t = first.intensity, first.depth, first.timestamp
+            dd = first.depth
+            if depth_scale is not None and dd.dtype == np_.float32:
+                dd = np_.clip(dd / depth_scale + 0.5, 0, 65535).astype(np_.uint16)
+            yield (first.intensity[None], dd[None], None)  # priming frame
             while True:
                 Ii, Dd, ts = seq.read_chunk(args.chunk, H, W)
                 if len(Ii) == 0:
-                    break
-                t0 = _time.perf_counter()
-                I_all = np_.empty((len(Ii) + 1, H, W), np_.uint8)
-                D_all = np_.empty((len(Ii) + 1, H, W), np_.float32)
-                I_all[0], D_all[0] = carry_i, carry_d
-                I_all[1:], D_all[1:] = Ii, Dd
-                res = align_sequence(
-                    jnp.asarray(I_all), jnp.asarray(D_all), intr, cfg, True,
-                    args.warm_start,
-                )
-                states = np_.asarray(res.state)
-                dt = _time.perf_counter() - t0
-                if integrate(states, ts, out, dt):
-                    break
-                carry_i, carry_d, carry_t = Ii[-1], Dd[-1], ts[-1]
+                    return
+                yield (Ii, Dd, ts)
         else:
             frames = prefetch(iter(seq))
-            carry_frame = None
+            first = next(frames, None)
+            if first is None:
+                return
+            yield (
+                np_.asarray(first.intensity)[None],
+                np_.asarray(first.depth, np_.float32)[None],
+                None,
+            )
             while True:
-                chunk = [] if carry_frame is None else [carry_frame]
+                chunk = []
                 for fr in frames:
                     chunk.append(fr)
-                    if len(chunk) >= args.chunk + 1:
+                    if len(chunk) >= args.chunk:
                         break
-                if len(chunk) < 2:
+                if not chunk:
+                    return
+                yield (
+                    np_.stack([np_.asarray(f.intensity) for f in chunk]),
+                    np_.stack([np_.asarray(f.depth, np_.float32) for f in chunk]),
+                    [f.timestamp for f in chunk],
+                )
+
+    with TrajectoryWriter(args.output) as out:
+        stream = chunk_stream()
+        prime = next(stream, None)
+        if prime is None:
+            return 0
+        I0, D0, _ = prime
+        carry_i = jnp.asarray(I0[0]).astype(jnp.float32)
+        if I0.dtype == np_.uint8:
+            carry_i = carry_i * (1.0 / 255.0)
+        carry_d = jnp.asarray(D0[0]).astype(jnp.float32)
+        if depth_scale is not None and D0.dtype == np_.uint16:
+            carry_d = carry_d * jnp.float32(depth_scale)
+        pending = None  # (device states, timestamps, t_start)
+        for Ii, Dd, ts in stream:
+            t0 = _time.perf_counter()
+            res, carry_i, carry_d = align_sequence_chunk(
+                carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
+                intr, cfg, True, args.warm_start,
+                depth_scale if Dd.dtype == np_.uint16 else None,
+            )
+            if pending is not None:
+                p_states, p_ts, p_t0 = pending
+                if integrate(np_.asarray(p_states), p_ts, out,
+                             t0 - p_t0):
+                    pending = None
                     break
-                t0 = _time.perf_counter()
-                Is = jnp.asarray(np_.stack([to_float_host(f.intensity) for f in chunk]))
-                Ds = jnp.asarray(np_.stack([f.depth for f in chunk]))
-                res = align_sequence(Is, Ds, intr, cfg, True, args.warm_start)
-                states = np_.asarray(res.state)
-                dt = _time.perf_counter() - t0
-                if integrate(states, [f.timestamp for f in chunk[1:]], out, dt):
-                    break
-                carry_frame = chunk[-1]
+            pending = (res.state, ts, t0)
+        if pending is not None:
+            p_states, p_ts, p_t0 = pending
+            integrate(np_.asarray(p_states), p_ts, out,
+                      _time.perf_counter() - p_t0)
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
     _maybe_eval(args)

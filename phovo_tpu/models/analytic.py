@@ -173,6 +173,40 @@ def align_sequence(
     return results
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_fused", "warm_start", "depth_scale"),
+)
+def align_sequence_chunk(
+    carry_intensity: jax.Array,  # (H, W) last frame of the previous chunk
+    carry_depth: jax.Array,  # (H, W)
+    intensities: jax.Array,  # (B, H, W) new frames (uint8 or float32)
+    depths: jax.Array,  # (B, H, W) metric float32 or raw uint16 counts
+    intr: Intrinsics,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+) -> tuple[AlignmentResult, jax.Array, jax.Array]:
+    """Streaming variant of align_sequence for the chunked VO pipeline.
+
+    The carry frame (last frame of the previous chunk) stays device-resident
+    between calls and the chunk is prepended on DEVICE, so per chunk the host
+    transfers only the new frames — in their storage dtype: uint8 intensity
+    and (with depth_scale) uint16 depth counts, converted on device. Returns
+    (results over B pairs, new carry intensity, new carry depth) — the carry
+    outputs are already in converted float form.
+    """
+    if depth_scale is not None and depths.dtype != jnp.float32:
+        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
+    if intensities.dtype == jnp.uint8:
+        intensities = intensities.astype(jnp.float32) * (1.0 / 255.0)
+    I = jnp.concatenate([carry_intensity.astype(jnp.float32)[None], intensities])
+    D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
+    results = align_sequence(I, D, intr, config, use_fused, warm_start)
+    return results, I[-1], D[-1]
+
+
 class PhotoconsistencyOdometryAnalytic(PhotoconsistencyOdometryBase):
     """Object API over `align_analytic` (reference class:
     CPhotoconsistencyOdometryAnalytic, …Analytic.h:57)."""
