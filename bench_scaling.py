@@ -1,0 +1,144 @@
+"""Scaling benchmark: data-parallel alignment throughput vs device count.
+
+Weak-scaling methodology for the BASELINE.md target (">=80% weak-scaling
+efficiency to 2 hosts"): per device count N, a batch of N * pairs_per_device
+frame pairs is sharded over the mesh 'data' axis and aligned repeatedly;
+efficiency(N) = throughput(N) / (N * throughput(1)). Tracking is
+communication-free under data parallelism (each pair lives on one device,
+parallel/batch.py), so on real ICI-connected chips the efficiency loss is
+only dispatch/collectless-overhead — measure it with:
+
+    python bench_scaling.py                    # all power-of-2 mesh sizes
+    python bench_scaling.py --devices 1,2,4    # specific sizes
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py --shape 96,128  # virtual-mesh validation
+
+On this dev container only ONE real TPU chip is attached; the virtual CPU
+mesh validates the harness and sharding (devices share 2 physical cores, so
+its "efficiency" is NOT a hardware measurement). The second mode below
+measures what one real chip gives: batch-size scaling at N=1 (how much a
+single dispatch amortizes with more pairs per batch).
+
+Prints one JSON line per measurement plus a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", default=None,
+                   help="comma-separated mesh sizes (default: 1,2,4,... up to all)")
+    p.add_argument("--pairs-per-device", type=int, default=4)
+    p.add_argument("--shape", default="480,640")
+    p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--batch-sizes", default="1,2,4,8,16",
+                   help="single-device batch sweep (second mode)")
+    p.add_argument("--skip-batch-sweep", action="store_true")
+    return p.parse_args()
+
+
+def main() -> int:
+    args = parse_args()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from phovo_tpu.ops.camera import TUM_FR1
+    from phovo_tpu.parallel.batch import make_data_parallel_aligner
+    from phovo_tpu.parallel.mesh import make_mesh
+    from phovo_tpu.utils.config import PhovoConfig
+    from phovo_tpu.utils.synthetic import make_pair
+
+    H, W = (int(x) for x in args.shape.split(","))
+    n_avail = len(jax.devices())
+    if args.devices:
+        sizes = [int(x) for x in args.devices.split(",")]
+    else:
+        sizes = []
+        n = 1
+        while n <= n_avail:
+            sizes.append(n)
+            n *= 2
+
+    cfg = PhovoConfig(
+        num_levels=5,
+        blur_filter_sizes=(0,) * 5,
+        gradient_scales=(0.0625,) * 5,
+        max_iterations=(0, 0, 5, 20, 50),
+        lambda_steps=(1.0,) * 5,
+        min_gradient_norms=(0.0,) * 5,
+        sampling="nearest",
+    )
+    intr = TUM_FR1 if (H, W) == (480, 640) else None
+    if intr is None:
+        from phovo_tpu.ops.camera import Intrinsics
+
+        intr = Intrinsics(
+            np.float32(W), np.float32(W),
+            np.float32(W / 2 - 0.5), np.float32(H / 2 - 0.5),
+        )
+    I0, D0, I1, D1, _ = make_pair(intr, shape=(H, W))
+
+    def batch_of(n_pairs):
+        rep = lambda a: jnp.asarray(np.broadcast_to(a, (n_pairs, H, W)).copy())
+        return rep(I0), rep(D0), rep(I1), rep(D1)
+
+    def time_aligner(align, batch, init):
+        res = align(*batch, intr, init)
+        jax.block_until_ready(res.state)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            res = align(*batch, intr, init)
+        jax.block_until_ready(res.state)
+        return (time.perf_counter() - t0) / args.repeats
+
+    # --- weak scaling over mesh sizes -------------------------------------
+    results = []
+    for n in sizes:
+        if n > n_avail:
+            print(f"# skipping N={n}: only {n_avail} devices")
+            continue
+        mesh = make_mesh(n)
+        align = make_data_parallel_aligner(mesh, cfg, use_fused=True)
+        B = n * args.pairs_per_device
+        batch = batch_of(B)
+        init = jnp.zeros((B, 6), jnp.float32)
+        dt = time_aligner(align, batch, init)
+        pairs_s = B / dt
+        results.append((n, pairs_s))
+        eff = pairs_s / (results[0][1] * n) if results else 1.0
+        print(json.dumps({
+            "mode": "weak_scaling", "devices": n, "batch": B,
+            "pairs_per_s": round(pairs_s, 2), "efficiency": round(eff, 4),
+            "platform": jax.devices()[0].platform,
+        }))
+
+    # --- single-device batch-size sweep ------------------------------------
+    if not args.skip_batch_sweep:
+        mesh = make_mesh(1)
+        align = make_data_parallel_aligner(mesh, cfg, use_fused=True)
+        for B in (int(x) for x in args.batch_sizes.split(",")):
+            batch = batch_of(B)
+            init = jnp.zeros((B, 6), jnp.float32)
+            dt = time_aligner(align, batch, init)
+            print(json.dumps({
+                "mode": "batch_sweep", "devices": 1, "batch": B,
+                "pairs_per_s": round(B / dt, 2),
+                "platform": jax.devices()[0].platform,
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
