@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TUM sequence dir containing rgb.txt/depth.txt")
     p.add_argument("--output", "-o", required=True, help="output trajectory file")
     p.add_argument("--backend", default="analytic",
-                   choices=["analytic", "ceres", "autodiff", "biobjective"])
+                   choices=["analytic", "ceres", "autodiff", "biobjective", "ic"])
     p.add_argument("--intrinsics", default="fr1",
                    help="named preset (default/fr1/fr2/fr3) or 'fx,fy,cx,cy'")
     p.add_argument("--depth-scale", type=float, default=1.0 / 5000.0)
