@@ -66,6 +66,10 @@ def main(argv=None) -> int:
 def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from phovo_tpu.apps._bootstrap import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import cv2
 
     from phovo_tpu.models import BACKENDS

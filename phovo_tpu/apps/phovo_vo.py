@@ -51,8 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "and a final pose-graph optimization")
     p.add_argument("--chunk", type=int, default=1,
                    help="buffer N frames and align all consecutive pairs in "
-                        "one device program (lax.scan; analytic backend only) "
-                        "— amortizes per-dispatch latency ~20x")
+                        "one device program (lax.scan; analytic and ic "
+                        "backends) — amortizes per-dispatch latency ~20x")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--checkpoint", default=None, help="checkpoint JSON path")
     p.add_argument("--resume", action="store_true",
@@ -78,6 +78,10 @@ def main(argv=None) -> int:
 
 def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from phovo_tpu.apps._bootstrap import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from pathlib import Path
 
@@ -137,8 +141,8 @@ def _main(argv=None) -> int:
     if args.mode == "keyframe":
         return _run_keyframe_mode(args, vo, seq)
     if args.chunk > 1:
-        if args.backend != "analytic":
-            print("error: --chunk currently requires --backend analytic",
+        if args.backend not in ("analytic", "ic"):
+            print("error: --chunk requires --backend analytic or ic",
                   file=sys.stderr)
             return 1
         return _run_chunked(args, cfg, intr, seq)
@@ -243,6 +247,7 @@ def _run_chunked(args, cfg, intr, seq) -> int:
 
     from phovo_tpu.datasets.tum import prefetch
     from phovo_tpu.models.analytic import align_sequence_chunk
+    from phovo_tpu.models.ic import align_sequence_chunk_ic
     from phovo_tpu.ops import se3
     from phovo_tpu.utils.trajectory import TrajectoryWriter
 
@@ -328,7 +333,11 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         pending = None  # (device states, timestamps, t_start)
         for Ii, Dd, ts in stream:
             t0 = _time.perf_counter()
-            res, carry_i, carry_d = align_sequence_chunk(
+            chunk_fn = (
+                align_sequence_chunk_ic if args.backend == "ic"
+                else align_sequence_chunk
+            )
+            res, carry_i, carry_d = chunk_fn(
                 carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
                 intr, cfg, True, args.warm_start,
                 depth_scale if Dd.dtype == np_.uint16 else None,

@@ -124,6 +124,33 @@ def align_sequence_ic(
     return results
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_fused", "warm_start", "depth_scale"),
+)
+def align_sequence_chunk_ic(
+    carry_intensity: jax.Array,
+    carry_depth: jax.Array,
+    intensities: jax.Array,
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+):
+    """IC variant of models/analytic.py align_sequence_chunk: device-resident
+    carry, storage-dtype transfers, on-device conversion."""
+    if depth_scale is not None and depths.dtype != jnp.float32:
+        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
+    if intensities.dtype == jnp.uint8:
+        intensities = intensities.astype(jnp.float32) * (1.0 / 255.0)
+    I = jnp.concatenate([carry_intensity.astype(jnp.float32)[None], intensities])
+    D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
+    results = align_sequence_ic(I, D, intr, config, use_fused, warm_start)
+    return results, I[-1], D[-1]
+
+
 class PhotoconsistencyOdometryIC(PhotoconsistencyOdometryBase):
     """Object API over `align_ic` (no reference counterpart; a TPU-native
     fourth backend)."""
