@@ -48,8 +48,9 @@ def main() -> int:
     args = parse_args()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from phovo_tpu.apps._bootstrap import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from phovo_tpu.ops.camera import TUM_FR1
@@ -115,7 +116,10 @@ def main() -> int:
         dt = time_aligner(align, batch, init)
         pairs_s = B / dt
         results.append((n, pairs_s))
-        eff = pairs_s / (results[0][1] * n) if results else 1.0
+        # normalize by per-device throughput of the FIRST measurement so an
+        # explicit --devices list not starting at 1 still reports correctly
+        base_per_dev = results[0][1] / results[0][0]
+        eff = (pairs_s / n) / base_per_dev
         print(json.dumps({
             "mode": "weak_scaling", "devices": n, "batch": B,
             "pairs_per_s": round(pairs_s, 2), "efficiency": round(eff, 4),

@@ -5,7 +5,7 @@ Usage:
     python -m phovo_tpu.apps.phovo_align <config.yml> \
         <source_intensity.png> <source_depth.png> \
         <target_intensity.png> <target_depth.png> \
-        [--backend analytic|ceres|biobjective] [--intrinsics default|fr1|fr2|fr3]
+        [--backend analytic|ceres|biobjective|ic] [--intrinsics default|fr1|fr2|fr3]
         [--depth-scale 0.001] [--save-diff diff.png]
 
 Backend is selected at runtime (the reference requires recompiling with
@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("target_intensity")
     p.add_argument("target_depth")
     p.add_argument("--backend", default="analytic",
-                   choices=["analytic", "ceres", "autodiff", "biobjective"])
+                   choices=["analytic", "ceres", "autodiff", "biobjective", "ic"])
     p.add_argument("--intrinsics", default="default",
                    help="named preset (default/fr1/fr2/fr3) or 'fx,fy,cx,cy'")
     p.add_argument("--depth-scale", type=float, default=1.0 / 1000.0,

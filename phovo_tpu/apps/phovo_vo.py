@@ -112,6 +112,20 @@ def _main(argv=None) -> int:
     )
     if use_raw:
         seq = raw_ds.RawSequence(args.dataset)
+        # the raw layout bakes depth scale and pairing in at conversion time
+        if abs(seq.depth_scale - args.depth_scale) > 1e-12:
+            print(
+                f"note: raw replay uses depth scale {seq.depth_scale} from "
+                f"meta.json (--depth-scale {args.depth_scale} ignored; "
+                "re-run phovo-convert to change it)",
+                file=sys.stderr,
+            )
+        if seq.meta.get("pairing", args.pairing) != args.pairing:
+            print(
+                f"note: raw replay was converted with "
+                f"pairing={seq.meta.get('pairing')} (--pairing ignored)",
+                file=sys.stderr,
+            )
     elif use_native:
         if not native_loader.available():
             print(
@@ -251,7 +265,6 @@ def _run_chunked(args, cfg, intr, seq) -> int:
     from phovo_tpu.ops import se3
     from phovo_tpu.utils.trajectory import TrajectoryWriter
 
-    import jax
     import jax.numpy as jnp
 
     pose = np_.eye(4)
@@ -280,15 +293,24 @@ def _run_chunked(args, cfg, intr, seq) -> int:
     def chunk_stream():
         """Yield (I_new (m,H,W) storage dtype, D_new, timestamps (m,))."""
         if hasattr(seq, "read_chunk"):
-            it = iter(seq)
-            first = next(it, None)
-            if first is None:
-                return
-            H, W = first.intensity.shape
-            dd = first.depth
-            if depth_scale is not None and dd.dtype == np_.float32:
-                dd = np_.clip(dd / depth_scale + 0.5, 0, 65535).astype(np_.uint16)
-            yield (first.intensity[None], dd[None], None)  # priming frame
+            if hasattr(seq, "height"):  # random-access (raw replay)
+                H, W = seq.height, seq.width
+                Ii, Dd, ts = seq.read_chunk(1, H, W)
+                if len(Ii) == 0:
+                    return
+                yield (Ii, Dd, None)  # priming frame
+            else:  # streaming (native decode pool): prime by iteration
+                it = iter(seq)
+                first = next(it, None)
+                if first is None:
+                    return
+                H, W = first.intensity.shape
+                dd = first.depth
+                if depth_scale is not None and dd.dtype == np_.float32:
+                    dd = np_.clip(
+                        dd / depth_scale + 0.5, 0, 65535
+                    ).astype(np_.uint16)
+                yield (first.intensity[None], dd[None], None)
             while True:
                 Ii, Dd, ts = seq.read_chunk(args.chunk, H, W)
                 if len(Ii) == 0:
@@ -331,28 +353,32 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         if depth_scale is not None and D0.dtype == np_.uint16:
             carry_d = carry_d * jnp.float32(depth_scale)
         pending = None  # (device states, timestamps, t_start)
-        for Ii, Dd, ts in stream:
-            t0 = _time.perf_counter()
-            chunk_fn = (
-                align_sequence_chunk_ic if args.backend == "ic"
-                else align_sequence_chunk
-            )
-            res, carry_i, carry_d = chunk_fn(
-                carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
-                intr, cfg, True, args.warm_start,
-                depth_scale if Dd.dtype == np_.uint16 else None,
-            )
+        chunk_fn = (
+            align_sequence_chunk_ic if args.backend == "ic"
+            else align_sequence_chunk
+        )
+        try:
+            for Ii, Dd, ts in stream:
+                t0 = _time.perf_counter()
+                res, carry_i, carry_d = chunk_fn(
+                    carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
+                    intr, cfg, True, args.warm_start,
+                    depth_scale if Dd.dtype == np_.uint16 else None,
+                )
+                if pending is not None:
+                    p_states, p_ts, p_t0 = pending
+                    pending = None
+                    if integrate(np_.asarray(p_states), p_ts, out,
+                                 t0 - p_t0):
+                        break
+                pending = (res.state, ts, t0)
+        finally:
+            # flush the chunk already aligned even if a later chunk's IO or
+            # dispatch raises — the trajectory stays truncated, not holey
             if pending is not None:
                 p_states, p_ts, p_t0 = pending
-                if integrate(np_.asarray(p_states), p_ts, out,
-                             t0 - p_t0):
-                    pending = None
-                    break
-            pending = (res.state, ts, t0)
-        if pending is not None:
-            p_states, p_ts, p_t0 = pending
-            integrate(np_.asarray(p_states), p_ts, out,
-                      _time.perf_counter() - p_t0)
+                integrate(np_.asarray(p_states), p_ts, out,
+                          _time.perf_counter() - p_t0)
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
     _maybe_eval(args)

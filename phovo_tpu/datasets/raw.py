@@ -168,12 +168,10 @@ class RawSequence:
         return self._n
 
     def __iter__(self) -> Iterator[RGBDFrame]:
-        # one-shot stream sharing the chunk cursor, like NativeTUMSequence:
-        # apps/phovo_vo.py primes one frame via next(iter(seq)) and then
-        # drains the rest with read_chunk — both must advance the same cursor
-        while self._cursor < self._n:
-            k = self._cursor
-            self._cursor += 1
+        # restartable random-access iteration (unlike the streaming native
+        # loader); the chunk cursor below is independent — the chunked
+        # pipeline primes via read_chunk(1), never via iteration
+        for k in range(self._n):
             depth = self._depth[k]
             if depth.dtype != np.float32:  # frame mode wants metric float
                 depth = depth.astype(np.float32) * np.float32(self.depth_scale)

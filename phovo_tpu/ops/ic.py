@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
-from phovo_tpu.ops.fused import _pad_flat, _pick_tile_pixels, _sample_packed
+from phovo_tpu.ops.fused import _pad_flat, _pick_tile_pixels
 from phovo_tpu.ops.residuals import warp_and_jacobian
 
 try:  # pragma: no cover - import guard
@@ -398,9 +398,6 @@ def ic_gn_level_xla(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    packed = jnp.stack(
-        [target_intensity] * 4, axis=-1
-    )  # sampler wants 4 channels; only [...,0] is used
 
     def linearize(T):
         pz = source_depth
@@ -414,9 +411,15 @@ def ic_gn_level_xla(
         safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
         u = tx * intr.fx / safe_z + intr.cx
         v = ty * intr.fy / safe_z + intr.cy
-        vals, inb = _sample_packed(packed, u, v, sampling)
+        from phovo_tpu.ops import warp as warp_ops
+
+        sample = (
+            warp_ops.sample_bilinear if sampling == "bilinear"
+            else warp_ops.sample_nearest
+        )
+        i1w, inb = sample(target_intensity, u, v)
         valid = valid0 & inb & (tz > 0)
-        r = jnp.where(valid, vals[..., 0] - i0, 0.0).reshape(N)
+        r = jnp.where(valid, i1w - i0, 0.0).reshape(N)
         g = Jrows @ r  # (6,)
         cost = jnp.sum(r * r)
         nvalid = jnp.sum(valid.astype(jnp.float32))

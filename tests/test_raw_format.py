@@ -53,14 +53,18 @@ def test_read_chunk_streams_whole_sequence(raw_dir):
     assert got == N_FRAMES
 
 
-def test_iter_and_chunk_share_cursor(raw_dir):
-    """phovo_vo primes one frame by iteration then drains via read_chunk;
-    the two must consume one shared stream (NativeTUMSequence semantics)."""
+def test_iter_restartable_and_chunk_cursor_independent(raw_dir):
+    """Iteration over the memmap is restartable (random access); the chunk
+    cursor is separate and one-shot — phovo_vo's chunked pipeline primes via
+    read_chunk(1), never via iteration."""
     raw = RawSequence(raw_dir)
-    first = next(iter(raw))
+    ts_a = [f.timestamp for f in raw]
+    ts_b = [f.timestamp for f in raw]
+    assert ts_a == ts_b and len(ts_a) == N_FRAMES
     I, D, ts = raw.read_chunk(N_FRAMES, raw.height, raw.width)
-    assert len(I) == N_FRAMES - 1
-    assert ts[0] != first.timestamp
+    assert len(I) == N_FRAMES  # iteration did not consume the chunk stream
+    I2, _, _ = raw.read_chunk(1, raw.height, raw.width)
+    assert len(I2) == 0  # chunk stream itself is one-shot
 
 
 def test_wrong_shape_chunk_raises(raw_dir):
