@@ -1,0 +1,410 @@
+"""Sparse bundle adjustment with Schur-complement elimination, sharded
+over the device mesh (net-new; SURVEY §5/§7 "distributed pose-graph/BA
+backend whose JtJ/Jtr and Schur-complement reductions run over collectives").
+
+The reference has no mapping back-end at all (its global pose is a running
+product, PhotoconsistencyVisualOdometry.cpp:233-234); parallel/pose_graph.py
+adds pose-only graph optimization. This module adds the full structure-aware
+back-end: M keyframe poses and P landmark points refined jointly against
+pixel reprojection observations.
+
+Math (classic reduced camera system): with per-observation residual
+r_k(s_i, X_j) and Jacobians A_k = dr/ds_i (2x6), B_k = dr/dX_j (2x3), the
+Gauss-Newton system is
+
+    [ U   W ] [dx_pose ]   [ v ]        U: block-diag (M, 6, 6)
+    [ W^T V ] [dx_point] = [ w ]        V: block-diag (P, 3, 3)
+
+Landmarks are eliminated by the Schur complement
+
+    S = U - W V^{-1} W^T          (6M x 6M reduced camera system)
+    S dx_pose = v - W V^{-1} w
+    dx_point_j = V_j^{-1} (w_j - sum_i W_{ij}^T dx_pose_i)
+
+TPU decomposition: observations are padded and sharded over the flattened
+mesh; every device scatter-accumulates its shard's {U, V, W, v, w, cost}
+blocks locally, ONE psum per GN iteration merges them (the only collective),
+and the reduced 6M x 6M solve + landmark back-substitution run replicated —
+M is a keyframe-window count (tens), so the solve is trivial next to the
+O(K) accumulation. W is kept dense (M, P, 6, 3): for window BA
+(M<=64, P<=few thousand) that is a few MB of VMEM-friendly layout and makes
+the Schur contraction three einsums on the MXU instead of ragged per-landmark
+gathers.
+
+Conventions match the rest of the framework: pose state s_i is the 6-vector
+[x y z yaw pitch roll] with T_i = pose_matrix(s_i) the world-from-keyframe
+transform (parallel/pose_graph.py), landmarks live in world coordinates, and
+a landmark is observed in keyframe i at pixel (u, v) via the reference's
+pinhole projection (CPhotoconsistencyOdometry.h:87-133)."""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from phovo_tpu.ops import se3
+from phovo_tpu.ops.camera import Intrinsics
+
+
+class BAProblem(NamedTuple):
+    """A fixed-size RGB-D bundle-adjustment problem (pytree; jit-stable
+    shapes).
+
+    Observations are RGB-D: a pixel (u, v) plus the measured camera-frame
+    depth z (this is a depth-camera framework — the reference reads 16-bit
+    depth PNGs for every frame, CImageReader.h:43-83). The depth residual is
+    essential: pixel-only BA with a single anchored pose leaves global scale
+    as a gauge freedom (cond(H) ~ 1e12), which no solver arithmetic can fix;
+    the depth rows pin scale and condition the system. Set z_weights to 0 for
+    pixel-only observations.
+
+    Padding: observations with pose index -1 are ignored (contribute exact
+    zeros). Landmarks never observed by any real observation are frozen by
+    the V damping floor."""
+
+    pose_states: jax.Array  # (M, 6) keyframe states (world <- keyframe)
+    points: jax.Array  # (P, 3) world landmarks
+    obs_pose: jax.Array  # (K,) int32 keyframe index per observation (-1 pad)
+    obs_point: jax.Array  # (K,) int32 landmark index per observation
+    obs_uv: jax.Array  # (K, 2) measured pixel (u, v)
+    obs_z: jax.Array  # (K,) measured camera-frame depth (meters)
+    weights: jax.Array  # (K,) pixel information weight per observation
+    z_weights: jax.Array  # (K,) depth information weight (0 = pixel-only)
+
+
+def project_point(state: jax.Array, point: jax.Array, intr: Intrinsics):
+    """Project one world point into the keyframe with pose `state`.
+
+    Returns ((u, v), depth-in-camera). p_cam = T^{-1} X (T world-from-kf),
+    pinhole projection with the reference's K (u = fx x/z + cx)."""
+    T = se3.pose_matrix(state)
+    R = T[:3, :3]
+    t = T[:3, 3]
+    p = R.T @ (point - t)
+    z = p[2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u = intr.fx * p[0] / safe_z + intr.cx
+    v = intr.fy * p[1] / safe_z + intr.cy
+    return jnp.stack([u, v]), z
+
+
+def _obs_residual(state, point, uvz, intr):
+    pred, z = project_point(state, point, intr)
+    return jnp.concatenate([pred - uvz[:2], (z - uvz[2])[None]])
+
+
+def _linearize_obs(states, points, obs_pose, obs_point, obs_uv, obs_z,
+                   weights, z_weights, intr):
+    """Per-observation residuals and Jacobians, vmapped + jacfwd (9 tangents
+    per observation — tiny closed-chain work the VPU eats in registers).
+
+    Returns r (K, 3), A (K, 3, 6), B (K, 3, 3): rows 0-1 are the pixel
+    residual scaled by sqrt(w), row 2 the depth residual scaled by
+    sqrt(w_z); all rows zeroed on padding observations."""
+    valid = obs_pose >= 0
+    iw = jnp.where(valid, obs_pose, 0)
+    jw = jnp.where(valid, obs_point, 0)
+    s = states[iw]
+    X = points[jw]
+    uvz = jnp.concatenate([obs_uv, obs_z[:, None]], axis=1)
+
+    def one(s_k, X_k, uvz_k):
+        r = _obs_residual(s_k, X_k, uvz_k, intr)
+        A = jax.jacfwd(lambda q: _obs_residual(q, X_k, uvz_k, intr))(s_k)
+        B = jax.jacfwd(lambda q: _obs_residual(s_k, q, uvz_k, intr))(X_k)
+        return r, A, B
+
+    r, A, B = jax.vmap(one)(s, X, uvz)
+    vf = valid.astype(r.dtype)
+    sw = jnp.stack(
+        [jnp.sqrt(weights) * vf, jnp.sqrt(weights) * vf,
+         jnp.sqrt(z_weights) * vf],
+        axis=1,
+    )
+    r = r * sw
+    A = A * sw[:, :, None]
+    B = B * sw[:, :, None]
+    return r, A, B, iw, jw
+
+
+def _accumulate_shard(states, points, obs_pose, obs_point, obs_uv, obs_z,
+                      weights, z_weights, intr, M, Pn, vma_axes=()):
+    """One shard's block contributions {U, V, W, v, w, cost}."""
+    r, A, B, iw, jw = _linearize_obs(
+        states, points, obs_pose, obs_point, obs_uv, obs_z, weights,
+        z_weights, intr
+    )
+    hp = jax.lax.Precision.HIGHEST
+    AtA = jnp.einsum("kai,kaj->kij", A, A, precision=hp)  # (K, 6, 6)
+    BtB = jnp.einsum("kai,kaj->kij", B, B, precision=hp)  # (K, 3, 3)
+    AtB = jnp.einsum("kai,kaj->kij", A, B, precision=hp)  # (K, 6, 3)
+    Atr = jnp.einsum("kai,ka->ki", A, r, precision=hp)  # (K, 6)
+    Btr = jnp.einsum("kai,ka->ki", B, r, precision=hp)  # (K, 3)
+
+    U0 = jnp.zeros((M, 6, 6), jnp.float32)
+    V0 = jnp.zeros((Pn, 3, 3), jnp.float32)
+    W0 = jnp.zeros((M, Pn, 6, 3), jnp.float32)
+    v0 = jnp.zeros((M, 6), jnp.float32)
+    w0 = jnp.zeros((Pn, 3), jnp.float32)
+    if vma_axes:
+        # under shard_map the scattered values vary per device; the scatter
+        # operands must carry the same vma type (JAX typing rule)
+        U0, V0, W0, v0, w0 = (
+            jax.lax.pcast(a, vma_axes, to="varying")
+            for a in (U0, V0, W0, v0, w0)
+        )
+    U = U0.at[iw].add(AtA)
+    V = V0.at[jw].add(BtB)
+    Wb = W0.at[iw, jw].add(AtB)
+    vv = v0.at[iw].add(Atr)
+    ww = w0.at[jw].add(Btr)
+    cost = jnp.sum(r * r)
+    return U, V, Wb, vv, ww, cost
+
+
+def _schur_step(states, points, blocks, damping, fixed_first):
+    """One GN update from merged blocks: Schur-reduce, solve, back-substitute."""
+    U, V, Wb, vv, ww, cost = blocks
+    M = U.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    # damped landmark blocks; unobserved landmarks get the identity floor,
+    # making their update exactly zero
+    Vd = V + damping * jnp.eye(3, dtype=V.dtype) + (
+        (jnp.abs(V).sum((-1, -2), keepdims=True) == 0).astype(V.dtype)
+        * jnp.eye(3, dtype=V.dtype)
+    )
+    Vinv = jnp.linalg.inv(Vd)  # (P, 3, 3)
+
+    WVinv = jnp.einsum("ipab,pbc->ipac", Wb, Vinv, precision=hp)  # (M, P, 6, 3)
+    S_off = jnp.einsum("ipac,jpdc->ijad", WVinv, Wb, precision=hp)  # (M, M, 6, 6)
+    S = -S_off
+    S = S.at[jnp.arange(M), jnp.arange(M)].add(U)
+    rhs = vv - jnp.einsum("ipac,pc->ia", WVinv, ww, precision=hp)  # (M, 6)
+
+    Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * M, 6 * M)
+    gd = rhs.reshape(6 * M)
+    if fixed_first:
+        mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (M - 1))])
+        Sd = Sd * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        gd = gd * mask
+    Sd = Sd + damping * jnp.eye(6 * M, dtype=Sd.dtype)
+    # Jacobi preconditioning: the reduced camera system mixes meter and
+    # radian columns against pixel residuals and reaches cond ~1e12 raw,
+    # which an f32 solve cannot handle; symmetric diagonal rescaling brings
+    # it into f32 range (same trick as Ceres's JACOBI preconditioner).
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(Sd), 1e-12, None))
+    Ss = Sd / d[:, None] / d[None, :]
+    dx_pose = (jnp.linalg.solve(Ss, gd / d) / d).reshape(M, 6)
+
+    # landmark back-substitution
+    corr = jnp.einsum("ipab,ia->pb", Wb, dx_pose, precision=hp)  # (P, 3)
+    dx_point = jnp.einsum("pab,pb->pa", Vinv, ww - corr, precision=hp)
+
+    finite = jnp.all(jnp.isfinite(dx_pose)) & jnp.all(jnp.isfinite(dx_point))
+    dx_pose = jnp.where(finite, dx_pose, 0.0)
+    dx_point = jnp.where(finite, dx_point, 0.0)
+    return states - dx_pose, points - dx_point, cost
+
+
+def optimize_bundle(
+    problem: BAProblem,
+    intr: Intrinsics,
+    mesh: Mesh | None = None,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    fixed_first: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gauss-Newton bundle adjustment. Returns (pose_states, points, cost).
+
+    With a mesh, observations are padded to a multiple of the flattened mesh
+    size and sharded; each device accumulates its {U, V, W, v, w} blocks and
+    one psum per iteration merges them. The Schur-reduced camera system is
+    solved replicated (6M x 6M; M = keyframe-window size)."""
+    M = problem.pose_states.shape[0]
+    Pn = problem.points.shape[0]
+    K = problem.obs_pose.shape[0]
+
+    if mesh is not None:
+        n = 1
+        for a in mesh.axis_names:
+            n *= mesh.shape[a]
+        pad = (-K) % n
+        op = jnp.concatenate([problem.obs_pose, -jnp.ones(pad, jnp.int32)])
+        ol = jnp.concatenate([problem.obs_point, jnp.zeros(pad, jnp.int32)])
+        uv = jnp.concatenate([problem.obs_uv, jnp.zeros((pad, 2), jnp.float32)])
+        oz = jnp.concatenate([problem.obs_z, jnp.zeros(pad, jnp.float32)])
+        w = jnp.concatenate([problem.weights, jnp.zeros(pad, jnp.float32)])
+        zw = jnp.concatenate([problem.z_weights, jnp.zeros(pad, jnp.float32)])
+        spec = P(mesh.axis_names)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), spec, spec, spec, spec, spec, spec),
+            out_specs=(P(),) * 6,
+        )
+        def accumulate(states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s):
+            blocks = _accumulate_shard(
+                states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s, intr,
+                M, Pn, tuple(mesh.axis_names),
+            )
+            return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
+
+        def build(states, points):
+            return accumulate(states, points, op, ol, uv, oz, w, zw)
+
+    else:
+
+        def build(states, points):
+            return _accumulate_shard(
+                states, points, problem.obs_pose, problem.obs_point,
+                problem.obs_uv, problem.obs_z, problem.weights,
+                problem.z_weights, intr, M, Pn,
+            )
+
+    def gn_step(carry, _):
+        states, points = carry
+        blocks = build(states, points)
+        states, points, cost = _schur_step(
+            states, points, blocks, damping, fixed_first
+        )
+        return (states, points), cost
+
+    (states, points), costs = jax.lax.scan(
+        gn_step, (problem.pose_states, problem.points), None, length=iterations
+    )
+    return states, points, costs[-1]
+
+
+def dense_gn_step(problem: BAProblem, intr: Intrinsics,
+                  damping: float = 1e-6, fixed_first: bool = True):
+    """One GN update solving the FULL (6M + 3P) system directly — the
+    correctness oracle for the Schur elimination (tests only). The solve runs
+    in numpy float64: the raw normal equations reach cond ~1e12 (mixed
+    pixel/meter/radian units), so an f32 oracle would be noisier than the
+    preconditioned Schur path it is meant to check."""
+    import numpy as np
+
+    M = problem.pose_states.shape[0]
+    Pn = problem.points.shape[0]
+    r, A, B, iw, jw = _linearize_obs(
+        problem.pose_states, problem.points, problem.obs_pose,
+        problem.obs_point, problem.obs_uv, problem.obs_z, problem.weights,
+        problem.z_weights, intr,
+    )
+    r, A, B, iw, jw = (np.asarray(x, np.float64) for x in (r, A, B, iw, jw))
+    iw = iw.astype(np.int64)
+    jw = jw.astype(np.int64)
+    K = r.shape[0]
+    D = 6 * M + 3 * Pn
+    J = np.zeros((K, r.shape[1], D), np.float64)
+    for k in range(K):
+        J[k, :, 6 * iw[k] : 6 * iw[k] + 6] = A[k]
+        J[k, :, 6 * M + 3 * jw[k] : 6 * M + 3 * jw[k] + 3] = B[k]
+    Jf = J.reshape(K * r.shape[1], D)
+    rf = r.reshape(K * r.shape[1])
+    H = Jf.T @ Jf
+    g = Jf.T @ rf
+    if fixed_first:
+        mask = np.concatenate([np.zeros(6), np.ones(D - 6)])
+        H = H * mask[:, None] * mask[None, :] + np.diag(1.0 - mask)
+        g = g * mask
+    H = H + damping * np.eye(D)
+    # identity floor on unobserved landmark blocks, as in the Schur path
+    for p in range(Pn):
+        blk = slice(6 * M + 3 * p, 6 * M + 3 * p + 3)
+        if np.abs(H[blk, blk]).sum() < damping * 3 * 1.5:
+            H[blk, blk] += np.eye(3)
+    dx = np.linalg.solve(H, g)
+    states = problem.pose_states - jnp.asarray(
+        dx[: 6 * M].reshape(M, 6), jnp.float32
+    )
+    points = problem.points - jnp.asarray(
+        dx[6 * M :].reshape(Pn, 3), jnp.float32
+    )
+    return states, points, jnp.sum(r * r)
+
+
+def make_synthetic_ba(
+    n_poses: int = 6,
+    n_points: int = 64,
+    intr: Intrinsics | None = None,
+    obs_per_point: int | None = None,
+    pixel_noise: float = 0.0,
+    depth_noise: float = 0.0,
+    state_noise: float = 0.02,
+    point_noise: float = 0.02,
+    seed: int = 0,
+):
+    """Ground-truthed synthetic RGB-D BA problem: poses on a short arc looking
+    at a landmark cloud, every pose observes every landmark (dense visibility
+    keeps shapes static; real front-ends pad). Depth observations carry the
+    standard (fx/z)^2 information weight (a depth error of dz meters moves the
+    reprojection by ~fx*dz/z pixels, so this expresses depth in
+    pixel-equivalent units). Returns (problem, gt_states, gt_points)."""
+    import numpy as np
+
+    if intr is None:
+        from phovo_tpu.ops.camera import TUM_DEFAULT
+
+        intr = TUM_DEFAULT
+    rng = np.random.default_rng(seed)
+    gt_states = np.zeros((n_poses, 6), np.float32)
+    gt_states[:, 0] = np.linspace(0.0, 0.4, n_poses)  # translate in x
+    gt_states[:, 3] = np.linspace(0.0, 0.05, n_poses)  # slight yaw
+    pts = np.stack(
+        [
+            rng.uniform(-1.0, 1.0, n_points),
+            rng.uniform(-0.8, 0.8, n_points),
+            rng.uniform(2.0, 4.0, n_points),
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+    obs_pose, obs_point, obs_uv, obs_z, z_w = [], [], [], [], []
+    proj = jax.vmap(
+        lambda s, X: project_point(s, X, intr), in_axes=(None, 0)
+    )
+    for i in range(n_poses):
+        uv, z = proj(jnp.asarray(gt_states[i]), jnp.asarray(pts))
+        uv = np.asarray(uv) + rng.normal(
+            0.0, pixel_noise, (n_points, 2)
+        ).astype(np.float32)
+        z = np.asarray(z) + rng.normal(0.0, depth_noise, n_points).astype(
+            np.float32
+        )
+        sel = (
+            np.arange(n_points)
+            if obs_per_point is None
+            else rng.choice(n_points, obs_per_point, replace=False)
+        )
+        for j in sel:
+            obs_pose.append(i)
+            obs_point.append(j)
+            obs_uv.append(uv[j])
+            obs_z.append(z[j])
+            z_w.append((intr.fx / max(float(z[j]), 0.1)) ** 2)
+
+    init_states = gt_states + rng.normal(
+        0.0, state_noise, gt_states.shape
+    ).astype(np.float32)
+    init_states[0] = gt_states[0]  # gauge anchor
+    init_points = pts + rng.normal(0.0, point_noise, pts.shape).astype(
+        np.float32
+    )
+    problem = BAProblem(
+        pose_states=jnp.asarray(init_states),
+        points=jnp.asarray(init_points),
+        obs_pose=jnp.asarray(obs_pose, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_uv=jnp.asarray(np.stack(obs_uv)),
+        obs_z=jnp.asarray(obs_z, jnp.float32),
+        weights=jnp.ones(len(obs_pose), jnp.float32),
+        z_weights=jnp.asarray(z_w, jnp.float32),
+    )
+    return problem, jnp.asarray(gt_states), jnp.asarray(pts)

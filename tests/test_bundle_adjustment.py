@@ -1,0 +1,135 @@
+"""Schur-complement bundle adjustment (parallel/bundle_adjustment.py).
+
+Oracles (the reference ships no BA and no tests — SURVEY §4): a dense
+full-system GN solve on tiny problems, synthetic ground-truth recovery, and
+sharded-vs-single-device equality on the virtual CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phovo_tpu.ops import se3
+from phovo_tpu.ops.camera import TUM_DEFAULT
+from phovo_tpu.parallel.bundle_adjustment import (
+    BAProblem,
+    dense_gn_step,
+    make_synthetic_ba,
+    optimize_bundle,
+    project_point,
+)
+from phovo_tpu.parallel.mesh import make_mesh
+
+
+def test_project_point_matches_warp_convention():
+    """Projecting a landmark placed by backprojection through pose T lands on
+    the original pixel (round trip through the world frame)."""
+    state = jnp.asarray([0.05, -0.02, 0.01, 0.03, -0.02, 0.01], jnp.float32)
+    T = se3.pose_matrix(state)
+    # camera-frame point at pixel (u, v), depth z
+    u, v, z = 200.0, 150.0, 2.5
+    pc = jnp.asarray(
+        [
+            (u - TUM_DEFAULT.cx) * z / TUM_DEFAULT.fx,
+            (v - TUM_DEFAULT.cy) * z / TUM_DEFAULT.fy,
+            z,
+        ]
+    )
+    X = T[:3, :3] @ pc + T[:3, 3]  # world point
+    uv, depth = project_point(state, X, TUM_DEFAULT)
+    np.testing.assert_allclose(np.asarray(uv), [u, v], atol=1e-3)
+    np.testing.assert_allclose(float(depth), z, atol=1e-5)
+
+
+def test_schur_step_matches_dense_solve():
+    """One Schur-reduced GN step equals the full (6M+3P) dense solve."""
+    problem, _, _ = make_synthetic_ba(
+        n_poses=4, n_points=12, state_noise=0.03, point_noise=0.05, seed=1
+    )
+    s_d, p_d, cost_d = dense_gn_step(problem, TUM_DEFAULT, damping=1e-6)
+    s_s, p_s, cost_s = optimize_bundle(
+        problem, TUM_DEFAULT, iterations=1, damping=1e-6
+    )
+    np.testing.assert_allclose(float(cost_s), float(cost_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=2e-4)
+
+
+def test_ba_recovers_ground_truth():
+    """Noiseless observations: GN converges to the exact scene."""
+    problem, gt_states, gt_points = make_synthetic_ba(
+        n_poses=5, n_points=40, state_noise=0.02, point_noise=0.03, seed=0
+    )
+    states, points, cost = optimize_bundle(
+        problem, TUM_DEFAULT, iterations=15, damping=1e-8
+    )
+    assert float(cost) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(states), np.asarray(gt_states), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(points), np.asarray(gt_points), atol=2e-3
+    )
+
+
+def test_ba_reduces_cost_with_noise():
+    problem, _, _ = make_synthetic_ba(
+        n_poses=5, n_points=40, pixel_noise=0.5, seed=2
+    )
+    _, _, cost1 = optimize_bundle(problem, TUM_DEFAULT, iterations=1)
+    _, _, cost8 = optimize_bundle(problem, TUM_DEFAULT, iterations=8)
+    assert float(cost8) < float(cost1)
+    assert np.isfinite(float(cost8))
+
+
+def test_sharded_matches_single_device():
+    """Constraint-sharded accumulation (psum over the 8-device CPU mesh)
+    produces the same optimum as the single-device path."""
+    problem, _, _ = make_synthetic_ba(n_poses=5, n_points=24, seed=3)
+    mesh = make_mesh(8, pixel_parallel=2)
+    s1, p1, c1 = optimize_bundle(problem, TUM_DEFAULT, iterations=6)
+    s8, p8, c8 = optimize_bundle(problem, TUM_DEFAULT, mesh=mesh, iterations=6)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-4)
+    # both costs sit at the f32 convergence floor (~1e-8); atol covers the
+    # reduction-order difference between 1- and 8-device accumulation
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-5, atol=1e-7)
+
+
+def test_padding_observations_are_inert():
+    problem, _, _ = make_synthetic_ba(n_poses=4, n_points=16, seed=4)
+    padded = BAProblem(
+        pose_states=problem.pose_states,
+        points=problem.points,
+        obs_pose=jnp.concatenate([problem.obs_pose, -jnp.ones(7, jnp.int32)]),
+        obs_point=jnp.concatenate([problem.obs_point, jnp.zeros(7, jnp.int32)]),
+        obs_uv=jnp.concatenate([problem.obs_uv, jnp.full((7, 2), 123.0)]),
+        obs_z=jnp.concatenate([problem.obs_z, jnp.full((7,), 9.0)]),
+        weights=jnp.concatenate([problem.weights, jnp.zeros(7)]),
+        z_weights=jnp.concatenate([problem.z_weights, jnp.zeros(7)]),
+    )
+    s1, p1, c1 = optimize_bundle(problem, TUM_DEFAULT, iterations=4)
+    s2, p2, c2 = optimize_bundle(padded, TUM_DEFAULT, iterations=4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-6)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-7)
+
+
+def test_unobserved_landmark_is_frozen():
+    """A landmark with no observations must not move (identity V floor)."""
+    problem, _, _ = make_synthetic_ba(n_poses=4, n_points=16, seed=5)
+    extra = jnp.asarray([[9.0, 9.0, 9.0]], jnp.float32)
+    grown = problem._replace(
+        points=jnp.concatenate([problem.points, extra], axis=0)
+    )
+    _, points, _ = optimize_bundle(grown, TUM_DEFAULT, iterations=3)
+    np.testing.assert_allclose(np.asarray(points[-1]), [9.0, 9.0, 9.0], atol=1e-7)
+
+
+def test_gauge_anchor_fixed():
+    problem, gt_states, _ = make_synthetic_ba(n_poses=5, n_points=30, seed=6)
+    states, _, _ = optimize_bundle(problem, TUM_DEFAULT, iterations=6)
+    np.testing.assert_allclose(
+        np.asarray(states[0]), np.asarray(problem.pose_states[0]), atol=1e-7
+    )
