@@ -229,8 +229,24 @@ class KeyframeVisualOdometry:
             weights=jnp.asarray(ws, jnp.float32),
         )
 
-    def finalize(self, mesh=None, iterations: int = 10) -> list[TrackedFrame]:
-        """Pose-graph optimize keyframes and recompose all frame poses.
+    def finalize(
+        self,
+        mesh=None,
+        iterations: int = 10,
+        ba_iterations: int = 0,
+        ba_window: int = 8,
+        ba_grid: int = 8,
+        ba_damping: float = 1e-4,
+    ) -> list[TrackedFrame]:
+        """Pose-graph optimize keyframes, optionally refine with windowed
+        photometric bundle adjustment, and recompose all frame poses.
+
+        With ba_iterations > 0, sliding keyframe windows of size `ba_window`
+        (first pose of each window anchored on its already-refined estimate)
+        are jointly refined by parallel/photometric_ba.py — poses AND sparse
+        landmarks against the keyframes' stored intensity/depth images. This
+        polishes the graph solution with actual image evidence instead of
+        only pairwise relative-pose measurements.
 
         Returns the tracked frames with `pose` updated in place.
         """
@@ -240,7 +256,51 @@ class KeyframeVisualOdometry:
             states = np.asarray(states, dtype=np.float64)
             for k, kf in enumerate(self.keyframes):
                 kf.pose = np.asarray(se3.pose_matrix(states[k]))
+        if ba_iterations > 0 and len(self.keyframes) >= 2:
+            self._refine_photometric(
+                mesh, ba_iterations, ba_window, ba_grid, ba_damping
+            )
         kf_by_index = {k.index: k for k in self.keyframes}
         for tf in self.tracked:
             tf.pose = kf_by_index[tf.keyframe_index].pose @ tf.rel_to_keyframe
         return self.tracked
+
+    def _refine_photometric(
+        self, mesh, iterations: int, window: int, grid: int, damping: float
+    ) -> None:
+        from phovo_tpu.parallel.photometric_ba import (
+            build_photometric_window,
+            optimize_photometric_bundle,
+        )
+
+        intr = self.odometry.intrinsics
+        if intr is None:
+            raise RuntimeError(
+                "photometric BA needs intrinsics on the odometry backend"
+            )
+        M = len(self.keyframes)
+        window = max(2, min(window, M))
+        start = 0
+        while start < M - 1:
+            stop = min(start + window, M)
+            kfs = self.keyframes[start:stop]
+            I = np.stack([k.intensity for k in kfs])
+            if I.dtype == np.uint8:  # aligner convention: intensity in 0..1
+                I = I.astype(np.float32) / 255.0
+            D = np.stack([k.depth for k in kfs])
+            states = np.stack(
+                [
+                    np.asarray(se3.matrix_to_state(jnp.asarray(k.pose)))
+                    for k in kfs
+                ]
+            ).astype(np.float32)
+            problem = build_photometric_window(I, D, states, intr, grid=grid)
+            refined, _, _ = optimize_photometric_bundle(
+                problem, intr, mesh=mesh, iterations=iterations,
+                damping=damping, fixed_first=True,
+            )
+            refined = np.asarray(refined, np.float64)
+            for k, kf in enumerate(kfs):
+                kf.pose = np.asarray(se3.pose_matrix(refined[k]))
+            # 1-keyframe overlap: the last refined pose anchors the next window
+            start = stop - 1

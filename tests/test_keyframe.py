@@ -119,3 +119,45 @@ def test_finalize_on_mesh_matches_single_device(loop_sequence):
     t2 = kvo2.finalize(mesh=mesh, iterations=5)
     for a, b in zip(t1, t2):
         np.testing.assert_allclose(a.pose, b.pose, atol=1e-4)
+
+
+def test_finalize_with_photometric_ba(loop_sequence):
+    """finalize(ba_iterations>0) runs the windowed photometric refinement
+    and must not degrade the (already accurate) synthetic trajectory."""
+    frames, gt_poses = loop_sequence
+    kvo = _make_kvo()
+    list(kvo.run(frames))
+    tracked = kvo.finalize(iterations=8, ba_iterations=4, ba_window=4, ba_grid=6)
+    err = np.mean(
+        [
+            np.linalg.norm(tf.pose[:3, 3] - gt[:3, 3])
+            for tf, gt in zip(tracked, gt_poses[1:])
+        ]
+    )
+    assert err < 0.02, err
+    for tf in tracked:
+        assert np.all(np.isfinite(tf.pose))
+
+
+def test_photometric_ba_fixes_perturbed_keyframes(loop_sequence):
+    """Deliberately corrupt the keyframe poses after tracking; the
+    photometric refinement must pull them back toward ground truth using
+    only the stored keyframe images."""
+    frames, gt_poses = loop_sequence
+    kvo = _make_kvo()
+    list(kvo.run(frames))
+    if len(kvo.keyframes) < 3:
+        pytest.skip("not enough keyframes promoted")
+    rng = np.random.default_rng(0)
+    gt_kf = {k.index: k.pose.copy() for k in kvo.keyframes}
+    for k in kvo.keyframes[1:]:
+        d = rng.normal(0.0, 0.008, 6)
+        k.pose = k.pose @ np.asarray(se3.pose_matrix(d))
+    err_before = np.mean(
+        [np.linalg.norm(k.pose[:3, 3] - gt_kf[k.index][:3, 3]) for k in kvo.keyframes]
+    )
+    kvo._refine_photometric(None, iterations=6, window=4, grid=6, damping=1e-4)
+    err_after = np.mean(
+        [np.linalg.norm(k.pose[:3, 3] - gt_kf[k.index][:3, 3]) for k in kvo.keyframes]
+    )
+    assert err_after < err_before / 2, (err_before, err_after)
