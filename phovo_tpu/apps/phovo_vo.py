@@ -53,6 +53,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="buffer N frames and align all consecutive pairs in "
                         "one device program (lax.scan; analytic and ic "
                         "backends) — amortizes per-dispatch latency ~20x")
+    p.add_argument("--ba-iterations", type=int, default=0,
+                   help="keyframe mode: after the pose graph, refine sliding "
+                        "keyframe windows with photometric bundle adjustment "
+                        "for N Gauss-Newton iterations (0 = off)")
+    p.add_argument("--ba-window", type=int, default=8,
+                   help="keyframe window size for photometric BA")
+    p.add_argument("--ba-grid", type=int, default=8,
+                   help="landmarks per keyframe = grid*grid (one per cell "
+                        "at the cell's highest-gradient valid-depth pixel)")
+    p.add_argument("--kf-translation", type=float, default=0.15,
+                   help="keyframe mode: promote a new keyframe beyond this "
+                        "tracked translation (meters)")
+    p.add_argument("--kf-rotation", type=float, default=0.15,
+                   help="keyframe mode: promote a new keyframe beyond this "
+                        "tracked rotation (radians, euler norm)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--checkpoint", default=None, help="checkpoint JSON path")
     p.add_argument("--resume", action="store_true",
@@ -390,7 +405,11 @@ def _run_keyframe_mode(args, vo, seq) -> int:
     from phovo_tpu.models.keyframe import KeyframeVisualOdometry
     from phovo_tpu.utils.trajectory import TrajectoryWriter
 
-    kvo = KeyframeVisualOdometry(vo)
+    kvo = KeyframeVisualOdometry(
+        vo,
+        kf_translation=args.kf_translation,
+        kf_rotation=args.kf_rotation,
+    )
     n = 0
     for tf in kvo.run(prefetch(iter(seq))):
         n += 1
@@ -401,7 +420,11 @@ def _run_keyframe_mode(args, vo, seq) -> int:
             )
         if args.max_frames is not None and n >= args.max_frames:
             break
-    tracked = kvo.finalize()
+    tracked = kvo.finalize(
+        ba_iterations=args.ba_iterations,
+        ba_window=args.ba_window,
+        ba_grid=args.ba_grid,
+    )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:
             out.write(tf.timestamp, tf.pose)

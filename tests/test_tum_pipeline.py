@@ -201,3 +201,40 @@ def test_vo_checkpoint_resume(tum_dir, tmp_path):
     np.testing.assert_allclose(
         est_resumed.positions[-1], est_full.positions[-1], atol=1e-4
     )
+
+
+def test_vo_cli_keyframe_mode_with_ba(tum_dir, tmp_path):
+    """Keyframe mode with photometric-BA finalize through the real CLI."""
+    from phovo_tpu.apps.phovo_vo import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "num_levels: 2\n"
+        "blur_filter_sizes: [0, 0]\n"
+        "gradient_scales: [0.0625, 0.0625]\n"
+        "lambda_steps: [1, 1]\n"
+        "max_iterations: [12, 12]\n"
+        "min_gradient_norms: [1e-9, 1e-9]\n"
+        "sampling: bilinear\n"
+    )
+    out = tmp_path / "trajectory_kf_ba.txt"
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--dataset", str(tum_dir),
+            "--output", str(out),
+            "--intrinsics", "128,128,63.5,47.5",
+            "--mode", "keyframe",
+            "--kf-translation", "0.02",
+            "--ba-iterations", "3",
+            "--ba-window", "4",
+            "--ba-grid", "6",
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    est = read_trajectory(out)
+    assert len(est) == N_FRAMES - 1
+    gt = read_trajectory(tum_dir / "groundtruth.txt")
+    ate = absolute_trajectory_error(est, gt)
+    assert ate["rmse"] < 0.01, ate
