@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ba-grid", type=int, default=8,
                    help="landmarks per keyframe = grid*grid (one per cell "
                         "at the cell's highest-gradient valid-depth pixel)")
+    p.add_argument("--ba-robust-delta", type=float, default=None,
+                   help="keyframe mode: Huber IRLS delta for the photometric "
+                        "BA refinement (caps outlier observations; omit for "
+                        "a quadratic cost)")
     p.add_argument("--kf-translation", type=float, default=0.15,
                    help="keyframe mode: promote a new keyframe beyond this "
                         "tracked translation (meters)")
@@ -424,6 +428,7 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         ba_iterations=args.ba_iterations,
         ba_window=args.ba_window,
         ba_grid=args.ba_grid,
+        ba_robust_delta=args.ba_robust_delta,
     )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:

@@ -97,6 +97,8 @@ def align_analytic(
                 config.min_gradient_norms[level],
                 config.lambda_steps[level],
                 config.sampling,
+                robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta,
             )
             state = st
             diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
@@ -107,6 +109,7 @@ def align_analytic(
                 return fused_ops.packed_normal_equations(
                     int0[_lvl], dep0[_lvl], _tgt, s, _intr,
                     config.min_depth, config.max_depth, config.sampling,
+                    config.robust_loss, config.robust_delta,
                 )
 
         else:
@@ -118,7 +121,9 @@ def align_analytic(
                     min_depth=config.min_depth, max_depth=config.max_depth,
                     sampling=config.sampling, gradient_at=config.gradient_at,
                 )
-                return normal_equations(r, J, valid)
+                return normal_equations(
+                    r, J, valid, config.robust_loss, config.robust_delta
+                )
 
         res = gauss_newton_level(
             linearize,

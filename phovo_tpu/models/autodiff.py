@@ -76,13 +76,17 @@ def align_autodiff(
                 )
 
             linearize = residual_to_linearizer(
-                lambda s, _fn=r_fn: (_fn(s), jax.jacfwd(_fn)(s))
+                lambda s, _fn=r_fn: (_fn(s), jax.jacfwd(_fn)(s)),
+                robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta,
             )
         elif fused_ok and H <= fused_ops.FUSED_MAX_H and config.max_iterations[level] > 0:
             tgt = fused_ops.pack_target_colmajor(int1[level], gx1[level], gy1[level])
             linearize = fused_ops.make_fused_linearizer(
                 int0[level], dep0[level], tgt, intr_l,
                 config.min_depth, config.max_depth, sampling="bilinear",
+                robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta,
             )
         else:
             tgt = fused_ops.pack_target(int1[level], gx1[level], gy1[level])
@@ -91,6 +95,8 @@ def align_autodiff(
                 return fused_ops.packed_normal_equations(
                     int0[_lvl], dep0[_lvl], _tgt, s, _intr,
                     config.min_depth, config.max_depth, sampling="bilinear",
+                    robust_loss=config.robust_loss,
+                    robust_delta=config.robust_delta,
                 )
 
         res = trust_region_level(linearize, state, config.trust_region_options(level))

@@ -91,6 +91,8 @@ def align_biobjective(
                 config.sampling,
                 depth_cols=(dep1[level], dgx1[level], dgy1[level]),
                 depth_gain=gain,
+                robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta,
             )
             state = st
             diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
@@ -105,7 +107,9 @@ def align_biobjective(
                 sampling=config.sampling, gradient_at=config.gradient_at,
                 depth_gain=_gain,
             )
-            return normal_equations(r, J, valid)
+            return normal_equations(
+                r, J, valid, config.robust_loss, config.robust_delta
+            )
 
         res = gauss_newton_level(
             linearize,

@@ -237,6 +237,7 @@ class KeyframeVisualOdometry:
         ba_window: int = 8,
         ba_grid: int = 8,
         ba_damping: float = 1e-4,
+        ba_robust_delta: float | None = None,
     ) -> list[TrackedFrame]:
         """Pose-graph optimize keyframes, optionally refine with windowed
         photometric bundle adjustment, and recompose all frame poses.
@@ -258,7 +259,8 @@ class KeyframeVisualOdometry:
                 kf.pose = np.asarray(se3.pose_matrix(states[k]))
         if ba_iterations > 0 and len(self.keyframes) >= 2:
             self._refine_photometric(
-                mesh, ba_iterations, ba_window, ba_grid, ba_damping
+                mesh, ba_iterations, ba_window, ba_grid, ba_damping,
+                ba_robust_delta,
             )
         kf_by_index = {k.index: k for k in self.keyframes}
         for tf in self.tracked:
@@ -266,7 +268,8 @@ class KeyframeVisualOdometry:
         return self.tracked
 
     def _refine_photometric(
-        self, mesh, iterations: int, window: int, grid: int, damping: float
+        self, mesh, iterations: int, window: int, grid: int, damping: float,
+        robust_delta: float | None = None,
     ) -> None:
         from phovo_tpu.parallel.photometric_ba import (
             build_photometric_window,
@@ -298,6 +301,7 @@ class KeyframeVisualOdometry:
             refined, _, _ = optimize_photometric_bundle(
                 problem, intr, mesh=mesh, iterations=iterations,
                 damping=damping, fixed_first=True,
+                robust_delta=robust_delta,
             )
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):

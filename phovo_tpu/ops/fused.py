@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
+from phovo_tpu.ops.robust import sqrt_weight as robust_sqrt_weight
 from phovo_tpu.ops.residuals import (
     NormalEquations,
     normal_equations,
@@ -130,6 +131,8 @@ def packed_normal_equations(
     min_depth: float,
     max_depth: float,
     sampling: str = "nearest",
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
 ) -> NormalEquations:
     """XLA path with the single packed gather."""
     col, row, _, J_pix, valid_src = warp_and_jacobian(
@@ -143,7 +146,7 @@ def packed_normal_equations(
         "...k,...kj->...j", grad, J_pix, precision=jax.lax.Precision.HIGHEST
     )
     J = jnp.where(valid[..., None], J, 0.0)
-    return normal_equations(residual, J, valid)
+    return normal_equations(residual, J, valid, robust_loss, robust_delta)
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +217,7 @@ def _linearize_gram(
     x, y, z, yaw, pitch, roll, fx, fy, cx, cy, minD, maxD,
     i0_ref, d0_ref, t_all_ref,
     bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
+    robust_loss="none", robust_delta=0.1,
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
@@ -419,14 +423,26 @@ def _linearize_gram(
 
         validf = valid.astype(jnp.float32)
         resid = (i1w - i0) * validf
+        # Robust (IRLS) scale: rows weighted by sqrt(w(r)) so the Gram is
+        # the reweighted normal system (ops/robust.py; elementwise VPU work
+        # fused into the column build). The valid column stays unweighted —
+        # num_valid counts pixels, not weight mass.
+        if robust_loss == "none":
+            s_int = validf
+            r_w = resid
+        else:
+            s_int = validf * robust_sqrt_weight(
+                resid, robust_loss, robust_delta
+            )
+            r_w = resid * s_int  # validf is 0/1, so validf^2 == validf
         cols_int = [
-            (gxw * Ju0) * validf,
-            (gyw * Jv1) * validf,
-            (gxw * Ju2 + gyw * Jv2) * validf,
-            (gxw * Ju3 + gyw * Jv3) * validf,
-            (gxw * Ju4 + gyw * Jv4) * validf,
-            (gxw * Ju5 + gyw * Jv5) * validf,
-            resid,
+            (gxw * Ju0) * s_int,
+            (gyw * Jv1) * s_int,
+            (gxw * Ju2 + gyw * Jv2) * s_int,
+            (gxw * Ju3 + gyw * Jv3) * s_int,
+            (gxw * Ju4 + gyw * Jv4) * s_int,
+            (gxw * Ju5 + gyw * Jv5) * s_int,
+            r_w,
             validf,
         ]
         if not bi:
@@ -434,15 +450,23 @@ def _linearize_gram(
         else:
             d1w, dgxw, dgyw = samples[3], samples[4], samples[5]
             r_dep = gain * (d1w - tz) * validf
+            if robust_loss == "none":
+                s_dep = validf
+                r_dep_w = r_dep
+            else:
+                s_dep = validf * robust_sqrt_weight(
+                    r_dep, robust_loss, robust_delta
+                )
+                r_dep_w = r_dep * s_dep
             # J_rt z-row is [0, 0, 1, 0, rp2, rr2] (dR/dyaw has zero 3rd row)
             cols_dep = [
-                gain * (dgxw * Ju0) * validf,
-                gain * (dgyw * Jv1) * validf,
-                gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * validf,
-                gain * (dgxw * Ju3 + dgyw * Jv3) * validf,
-                gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * validf,
-                gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * validf,
-                r_dep,
+                gain * (dgxw * Ju0) * s_dep,
+                gain * (dgyw * Jv1) * s_dep,
+                gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * s_dep,
+                gain * (dgxw * Ju3 + dgyw * Jv3) * s_dep,
+                gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * s_dep,
+                gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * s_dep,
+                r_dep_w,
                 jnp.zeros_like(validf),
             ]
             G = jnp.concatenate(cols_int + cols_dep, axis=0)  # (16, NT)
@@ -466,6 +490,7 @@ def _linearize_gram(
 def _fused_kernel(
     state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
     out_ref, *, H, W, NT, NP, bilinear, mix_mode="f32",
+    robust_loss="none", robust_delta=0.1,
 ):
     """One linearization per call: reads the state from SMEM, emits the 8x8
     Gram. Used by the per-iteration linearizer API (make_fused_linearizer).
@@ -484,6 +509,7 @@ def _fused_kernel(
         const_ref[0, 4], const_ref[0, 5],
         i0_ref, d0_ref, t_all_ref,
         H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=robust_delta,
     )
     out_ref[:] = gram
 
@@ -572,7 +598,7 @@ def _fused_gn_kernel(
     state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
-    mix_mode="f32",
+    mix_mode="f32", robust_loss="none", robust_delta=0.1,
 ):
     """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
 
@@ -598,6 +624,7 @@ def _fused_gn_kernel(
             s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
             i0_ref, d0_ref, t_all_ref,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+            robust_loss=robust_loss, robust_delta=robust_delta,
         )
 
     _run_gn_loop(
@@ -610,7 +637,7 @@ def _fused_gn_bi_kernel(
     state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
-    mix_mode="f32",
+    mix_mode="f32", robust_loss="none", robust_delta=0.1,
 ):
     """Bi-objective (intensity + depth) Gauss-Newton level in one kernel.
 
@@ -630,6 +657,7 @@ def _fused_gn_bi_kernel(
             i0_ref, d0_ref, t_all_ref,
             bi=True, gain=gain,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+            robust_loss=robust_loss, robust_delta=robust_delta,
         )
 
     _run_gn_loop(
@@ -641,7 +669,7 @@ def _fused_gn_bi_kernel(
 def make_fused_linearizer(
     source_intensity, source_depth, tgt_cols, intr,
     min_depth, max_depth, sampling="nearest", interpret=False,
-    mix_mode="f32",
+    mix_mode="f32", robust_loss="none", robust_delta=0.1,
 ):
     """Build linearize(state) -> NormalEquations with all loop-invariant work
     (flattening, constant SMEM pack, kernel specialization) done once, so a
@@ -651,7 +679,8 @@ def make_fused_linearizer(
     t_all = tgt_cols  # (3H, W) channel-major stack from pack_target_colmajor
     kernel = functools.partial(
         _fused_kernel, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
-        mix_mode=mix_mode,
+        mix_mode=mix_mode, robust_loss=robust_loss,
+        robust_delta=float(robust_delta),
     )
     i0_flat = _pad_flat(source_intensity.reshape(1, H * W), NP)
     d0_flat = _pad_flat(source_depth.reshape(1, H * W), NP)
@@ -697,6 +726,7 @@ def fused_gn_level(
     max_iterations: int, min_gradient_norm: float, lambda_step: float,
     sampling: str = "nearest", interpret: bool = False,
     depth_cols=None, depth_gain=None, mix_mode: str = "f32",
+    robust_loss: str = "none", robust_delta: float = 0.1,
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
 
@@ -723,6 +753,7 @@ def fused_gn_level(
         max_iterations=float(max_iterations),
         min_gradient_norm=float(min_gradient_norm),
         lambda_step=float(lambda_step), mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=float(robust_delta),
     )
     gain = jnp.float32(0.0) if depth_gain is None else jnp.asarray(depth_gain, jnp.float32)
     const = jnp.stack(
@@ -776,11 +807,13 @@ def fused_normal_equations_pallas(
     sampling: str = "nearest",
     interpret: bool = False,
     mix_mode: str = "f32",
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
 ) -> NormalEquations:
     linearize = make_fused_linearizer(
         source_intensity, source_depth, tgt_cols, intr,
         float(min_depth), float(max_depth), sampling, interpret,
-        mix_mode=mix_mode,
+        mix_mode=mix_mode, robust_loss=robust_loss, robust_delta=robust_delta,
     )
     return linearize(state)
 
@@ -802,6 +835,8 @@ def fused_normal_equations(
     max_depth: float = 5.0,
     sampling: str = "nearest",
     gradient_at: str = "warped",
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
 ) -> NormalEquations:
     """Dispatch to the fastest correct path for this level size.
 
@@ -816,15 +851,17 @@ def fused_normal_equations(
             min_depth=min_depth, max_depth=max_depth,
             sampling=sampling, gradient_at=gradient_at,
         )
-        return normal_equations(r, J, valid)
+        return normal_equations(r, J, valid, robust_loss, robust_delta)
     if _HAS_PALLAS and H <= FUSED_MAX_H and jax.default_backend() == "tpu":
         tgt = pack_target_colmajor(target_intensity, target_grad_x, target_grad_y)
         return fused_normal_equations_pallas(
             source_intensity, source_depth, tgt, state, intr,
             min_depth, max_depth, sampling,
+            robust_loss=robust_loss, robust_delta=robust_delta,
         )
     packed = pack_target(target_intensity, target_grad_x, target_grad_y)
     return packed_normal_equations(
         source_intensity, source_depth, packed, state, intr,
         min_depth, max_depth, sampling,
+        robust_loss=robust_loss, robust_delta=robust_delta,
     )

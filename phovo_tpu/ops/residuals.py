@@ -228,12 +228,28 @@ def biobjective_residual_jacobian(
     return r, J, valid
 
 
-def normal_equations(residual: jax.Array, J: jax.Array, valid: jax.Array) -> NormalEquations:
+def normal_equations(
+    residual: jax.Array,
+    J: jax.Array,
+    valid: jax.Array,
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
+) -> NormalEquations:
     """Reduce a residual field to Gauss-Newton normal equations.
 
     J: (..., 6), residual/valid broadcastable to J[..., 0]. One MXU matmul:
     JtJ = J^T J over all leading axes (invalid rows already zeroed).
+
+    With a robust loss, every row is scaled by sqrt(w(r)) (ops/robust.py),
+    making this one IRLS step; the reported cost is the reweighted
+    sum w r^2.
     """
+    if robust_loss != "none":
+        from phovo_tpu.ops.robust import sqrt_weight
+
+        sw = sqrt_weight(residual, robust_loss, robust_delta)
+        residual = residual * sw
+        J = J * sw[..., None]
     Jf = J.reshape(-1, 6)
     rf = residual.reshape(-1)
     JtJ = jnp.einsum(

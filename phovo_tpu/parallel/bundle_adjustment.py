@@ -132,12 +132,21 @@ def _linearize_obs(states, points, obs_pose, obs_point, obs_uv, obs_z,
 
 
 def _accumulate_shard(states, points, obs_pose, obs_point, obs_uv, obs_z,
-                      weights, z_weights, intr, M, Pn, vma_axes=()):
+                      weights, z_weights, intr, M, Pn, vma_axes=(),
+                      robust_delta=None):
     """One shard's block contributions {U, V, W, v, w, cost}."""
     r, A, B, iw, jw = _linearize_obs(
         states, points, obs_pose, obs_point, obs_uv, obs_z, weights,
         z_weights, intr
     )
+    if robust_delta is not None:
+        # Huber IRLS on the whitened per-observation residual norm: caps any
+        # single observation's influence (outlier tracks / bad depth)
+        n = jnp.linalg.norm(r, axis=1)
+        sw = jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(n, 1e-12)))
+        r = r * sw[:, None]
+        A = A * sw[:, None, None]
+        B = B * sw[:, None, None]
     hp = jax.lax.Precision.HIGHEST
     AtA = jnp.einsum("kai,kaj->kij", A, A, precision=hp)  # (K, 6, 6)
     BtB = jnp.einsum("kai,kaj->kij", B, B, precision=hp)  # (K, 3, 3)
@@ -218,8 +227,13 @@ def optimize_bundle(
     iterations: int = 10,
     damping: float = 1e-6,
     fixed_first: bool = True,
+    robust_delta: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Gauss-Newton bundle adjustment. Returns (pose_states, points, cost).
+
+    robust_delta enables a Huber IRLS weight on each observation's whitened
+    residual norm (units: pixel-equivalents; e.g. 3.0 caps influence beyond
+    ~3 px of reprojection error).
 
     With a mesh, observations are padded to a multiple of the flattened mesh
     size and sharded; each device accumulates its {U, V, W, v, w} blocks and
@@ -251,7 +265,7 @@ def optimize_bundle(
         def accumulate(states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s):
             blocks = _accumulate_shard(
                 states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s, intr,
-                M, Pn, tuple(mesh.axis_names),
+                M, Pn, tuple(mesh.axis_names), robust_delta,
             )
             return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
 
@@ -264,7 +278,7 @@ def optimize_bundle(
             return _accumulate_shard(
                 states, points, problem.obs_pose, problem.obs_point,
                 problem.obs_uv, problem.obs_z, problem.weights,
-                problem.z_weights, intr, M, Pn,
+                problem.z_weights, intr, M, Pn, robust_delta=robust_delta,
             )
 
     def gn_step(carry, _):

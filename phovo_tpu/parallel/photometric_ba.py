@@ -143,8 +143,17 @@ def _linearize(problem: PhotometricBAProblem, intr: Intrinsics):
     return r, A, B, iw, jw
 
 
-def _accumulate(problem, intr, M, Pn, vma_axes=()):
+def _accumulate(problem, intr, M, Pn, vma_axes=(), robust_delta=None):
     r, A, B, iw, jw = _linearize(problem, intr)
+    if robust_delta is not None:
+        # Huber IRLS on the weighted per-observation residual norm: caps the
+        # influence of occluded / specular / dynamic-object observations,
+        # the dominant failure mode of photometric costs
+        n = jnp.linalg.norm(r, axis=1)
+        sw = jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(n, 1e-12)))
+        r = r * sw[:, None]
+        A = A * sw[:, None, None]
+        B = B * sw[:, None, None]
     hp = jax.lax.Precision.HIGHEST
     AtA = jnp.einsum("kai,kaj->kij", A, A, precision=hp)
     BtB = jnp.einsum("kai,kaj->kij", B, B, precision=hp)
@@ -178,8 +187,13 @@ def optimize_photometric_bundle(
     iterations: int = 8,
     damping: float = 1e-4,
     fixed_first: bool = True,
+    robust_delta: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Joint photometric refinement of keyframe poses and landmarks.
+
+    robust_delta enables a Huber IRLS weight on each observation's weighted
+    residual norm (photometric rows are in intensity units, depth rows in
+    pixel-equivalents after their sqrt(w_z) scale).
 
     Returns (pose_states, points, last_cost). Images replicate across the
     mesh; observation rows shard over every mesh axis and one psum per GN
@@ -215,7 +229,7 @@ def optimize_photometric_bundle(
                 obs_point=ol_s, weights=w_s, z_weights=zw_s,
             )
             blocks = _accumulate(
-                prob, intr, M, Pn, tuple(mesh.axis_names)
+                prob, intr, M, Pn, tuple(mesh.axis_names), robust_delta
             )
             return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
 
@@ -227,7 +241,7 @@ def optimize_photometric_bundle(
         def build(states, points):
             return _accumulate(
                 problem._replace(pose_states=states, points=points),
-                intr, M, Pn,
+                intr, M, Pn, robust_delta=robust_delta,
             )
 
     def gn_step(carry, _):

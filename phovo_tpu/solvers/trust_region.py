@@ -51,12 +51,21 @@ class TROptions(NamedTuple):
 
 def residual_to_linearizer(
     residual_and_jacobian: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
 ) -> Callable[[jax.Array], NormalEquations]:
     """Adapt an (r, J)-producing function (e.g. jacfwd of a pure residual)
-    to the NormalEquations interface."""
+    to the NormalEquations interface. With a robust loss, rows are IRLS
+    reweighted by sqrt(w(r)) (ops/robust.py)."""
 
     def linearize(state) -> NormalEquations:
         r, J = residual_and_jacobian(state)
+        if robust_loss != "none":
+            from phovo_tpu.ops.robust import sqrt_weight
+
+            sw = sqrt_weight(r, robust_loss, robust_delta)
+            r = r * sw
+            J = J * sw[:, None]
         JtJ = jnp.einsum(
             "ni,nj->ij", J, J, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,

@@ -81,6 +81,11 @@ class PhovoConfig:
     # Kernel options (no reference analog; see ops/residuals.py docstring)
     sampling: str = "nearest"
     gradient_at: str = "warped"
+    # Robust loss (no reference analog — the reference cost is purely
+    # quadratic; see ops/robust.py): 'none' | 'huber' | 'cauchy' | 'tukey',
+    # delta in residual units (intensity is 0..1, so 0.1 ~ 25 gray levels)
+    robust_loss: str = "none"
+    robust_delta: float = 0.1
 
     def trust_region_options(self, level: int) -> TROptions:
         def get(field, default):
@@ -111,6 +116,12 @@ class PhovoConfig:
                 raise ValueError(
                     f"{f} has {len(v)} entries, expected num_levels={self.num_levels}"
                 )
+        from phovo_tpu.ops.robust import LOSSES
+
+        if self.robust_loss not in LOSSES:
+            raise ValueError(
+                f"robust_loss={self.robust_loss!r}; expected one of {LOSSES}"
+            )
         return self
 
 
@@ -154,6 +165,8 @@ _FIELD_TYPES = {
     "progress_to_stdout": bool,
     "sampling": None,
     "gradient_at": None,
+    "robust_loss": None,
+    "robust_delta": float,
 }
 
 
