@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-diff", default=None,
                    help="write |target - warped source| image here (the "
                         "reference's imshow verification, …cpp:107-112)")
+    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2", "bf16"],
+                   help="sampling-matmul precision in the fused TPU kernels "
+                        "(overrides the config)")
     return p
 
 
@@ -76,6 +79,10 @@ def _main(argv=None) -> int:
     from phovo_tpu.utils.config import load_config
 
     cfg = load_config(args.config)
+    if args.mix_mode is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mix_mode=args.mix_mode)
     intr = parse_intrinsics(args.intrinsics)
 
     src_i = cv2.imread(args.source_intensity, cv2.IMREAD_GRAYSCALE)

@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-diff-dir", default=None,
                    help="write per-frame |target - warped source| PNGs here "
                         "(the reference's imshow diagnostic, rendered to disk)")
+    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2", "bf16"],
+                   help="sampling-matmul precision in the fused TPU kernels "
+                        "(overrides the config; bf16x2 is ~1.4x faster "
+                        "end-to-end with sample error below the u8 image "
+                        "quantization)")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
 
@@ -117,6 +122,10 @@ def _main(argv=None) -> int:
     )
 
     cfg = load_config(args.config)
+    if args.mix_mode is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, mix_mode=args.mix_mode)
     intr = parse_intrinsics(args.intrinsics)
 
     from phovo_tpu.datasets import native_loader

@@ -97,6 +97,7 @@ def align_analytic(
                 config.min_gradient_norms[level],
                 config.lambda_steps[level],
                 config.sampling,
+                mix_mode=config.mix_mode,
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
             )

@@ -85,6 +85,7 @@ def align_autodiff(
             linearize = fused_ops.make_fused_linearizer(
                 int0[level], dep0[level], tgt, intr_l,
                 config.min_depth, config.max_depth, sampling="bilinear",
+                mix_mode=config.mix_mode,
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
             )

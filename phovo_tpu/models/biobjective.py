@@ -91,6 +91,7 @@ def align_biobjective(
                 config.sampling,
                 depth_cols=(dep1[level], dgx1[level], dgy1[level]),
                 depth_gain=gain,
+                mix_mode=config.mix_mode,
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
             )

@@ -40,6 +40,18 @@ def align_ic(
     use_fused: bool = True,
 ) -> AlignmentResult:
     del target_depth
+    if config.robust_loss != "none":
+        # IC's speed comes from the precomputed source-frame Jacobian and its
+        # frozen Cholesky factor; IRLS reweighting changes J^T W J every
+        # iteration, which would silently fall back to unweighted steps here.
+        # Fail loudly instead (use the analytic/biobjective/ceres backends
+        # for robust losses).
+        raise ValueError(
+            "the IC backend does not support robust_loss="
+            f"{config.robust_loss!r} (its factorization is precomputed from "
+            "the source frame); use backend 'analytic', 'biobjective' or "
+            "'ceres', or set robust_loss: none"
+        )
     if source_intensity.dtype == jnp.uint8:
         source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
     if target_intensity.dtype == jnp.uint8:
@@ -82,12 +94,14 @@ def align_ic(
                 config.min_depth, config.max_depth,
             )
             runner = ic_ops.ic_gn_level_xla
+        kw = {"mix_mode": config.mix_mode} if fused_level else {}
         T, its, gnorm, cost, nvalid = runner(
             T, dep0[level], J8, chol, int1[level], intr_l,
             config.max_iterations[level],
             config.min_gradient_norms[level],
             config.lambda_steps[level],
             config.sampling,
+            **kw,
         )
         diags[level] = (its, gnorm, cost, nvalid)
 

@@ -373,10 +373,16 @@ def _linearize_gram(
         #            sample to ~2^-17 relative (well below the u8/255 image
         #            quantization); ~2x faster than f32
         #   bf16   — single bf16 dot, ~4x faster, sample error ~4e-3
+        # The bf16 dots must pin precision=DEFAULT: the package sets
+        # jax_default_matmul_precision="highest" globally (correct for the
+        # f32 Gram/mix dots), but "highest" lowers bf16 operands to a
+        # contract_precision<fp32> tpu.matmul that Mosaic rejects
+        # ("Bad lhs type") — and bf16 inputs already define the precision.
         def _dot(a, b):
+            prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
         if mix_mode == "f32":
@@ -393,11 +399,29 @@ def _linearize_gram(
 
         else:  # bf16x2
             colw_m = colw.astype(jnp.bfloat16)
+            if bilinear:
+                # Bilinear weights are fractional, so they quantize at bf16
+                # (~4e-3) — compensate with a weight lo-term as well:
+                # hi*cw_hi + hi*cw_lo + lo*cw_hi (the dropped lo*cw_lo term
+                # is O(2^-16 * 2^-8)). Nearest weights are exact one-hots in
+                # bf16, so the 2-dot form below already achieves ~2^-17.
+                colw_lo = (colw - colw_m.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
 
-            def col_mix(block):
-                hi = block.astype(jnp.bfloat16)
-                lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                return _dot(hi, colw_m) + _dot(lo, colw_m)
+                def col_mix(block):
+                    hi = block.astype(jnp.bfloat16)
+                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return (
+                        _dot(hi, colw_m) + _dot(hi, colw_lo) + _dot(lo, colw_m)
+                    )
+
+            else:
+
+                def col_mix(block):
+                    hi = block.astype(jnp.bfloat16)
+                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return _dot(hi, colw_m) + _dot(lo, colw_m)
 
         # All channels are sampled with ONE column-mix matmul: the target is
         # channel-major stacked (CH*H, W), the banded lhs block is the

@@ -150,6 +150,7 @@ def _ic_gn_kernel(
     state_ref, const_ref, L_ref, d0_ref, J8_ref, t_i_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
+    mix_mode="f32",
 ):
     """Whole IC Gauss-Newton level in one kernel call.
 
@@ -243,10 +244,42 @@ def _ic_gn_kernel(
                 roww = jnp.where(iota_h == r_lo_loc, 1.0, 0.0)
 
             block = t_i_ref[pl.ds(band, BAND), :] if BAND < H else t_i_ref[:]
-            C = jax.lax.dot_general(
-                block, colw, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # mix_mode mirrors ops/fused.py: bf16 dots must pin
+            # precision=DEFAULT (the package-global "highest" lowers bf16
+            # operands to a contract_precision<fp32> matmul Mosaic rejects).
+            if mix_mode == "f32":
+                C = jax.lax.dot_general(
+                    block, colw, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                colw_h = colw.astype(jnp.bfloat16)
+
+                def _bdot(a):
+                    return jax.lax.dot_general(
+                        a, colw_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                hi = block.astype(jnp.bfloat16)
+                if mix_mode == "bf16":
+                    C = _bdot(hi)
+                else:  # bf16x2 (weight lo-term needed for fractional
+                    # bilinear weights; nearest one-hots are bf16-exact —
+                    # see ops/fused.py col_mix)
+                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    C = _bdot(hi) + _bdot(lo)
+                    if bilinear:
+                        colw_lo = (
+                            colw - colw_h.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                        C = C + jax.lax.dot_general(
+                            hi, colw_lo,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
             i1w = jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
 
             validf = valid.astype(jnp.float32)
@@ -317,6 +350,7 @@ def ic_gn_level(
     lambda_step: float,
     sampling: str = "nearest",
     interpret: bool = False,
+    mix_mode: str = "f32",
 ):
     """Whole IC level in one pallas call. Returns (T', iterations, gnorm,
     cost, num_valid)."""
@@ -328,6 +362,7 @@ def ic_gn_level(
         max_iterations=float(max_iterations),
         min_gradient_norm=float(min_gradient_norm),
         lambda_step=float(lambda_step),
+        mix_mode=mix_mode,
     )
     state = jnp.concatenate(
         [T[:3, :3].reshape(9), T[:3, 3], jnp.zeros(4, T.dtype)]

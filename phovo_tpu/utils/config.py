@@ -86,6 +86,11 @@ class PhovoConfig:
     # delta in residual units (intensity is 0..1, so 0.1 ~ 25 gray levels)
     robust_loss: str = "none"
     robust_delta: float = 0.1
+    # Sampling-matmul precision inside the fused Pallas kernel (ops/fused.py):
+    # 'f32' exact; 'bf16x2' hi/lo bfloat16 split (~2x faster mix dots, sample
+    # error ~2^-17, below u8 image quantization); 'bf16' single pass (~4x,
+    # error ~4e-3). Only affects the fused TPU path.
+    mix_mode: str = "f32"
 
     def trust_region_options(self, level: int) -> TROptions:
         def get(field, default):
@@ -121,6 +126,10 @@ class PhovoConfig:
         if self.robust_loss not in LOSSES:
             raise ValueError(
                 f"robust_loss={self.robust_loss!r}; expected one of {LOSSES}"
+            )
+        if self.mix_mode not in ("f32", "bf16x2", "bf16"):
+            raise ValueError(
+                f"mix_mode={self.mix_mode!r}; expected 'f32', 'bf16x2' or 'bf16'"
             )
         return self
 
@@ -167,6 +176,7 @@ _FIELD_TYPES = {
     "gradient_at": None,
     "robust_loss": None,
     "robust_delta": float,
+    "mix_mode": None,
 }
 
 

@@ -179,3 +179,57 @@ def test_solve6_matches_linalg():
         np.testing.assert_allclose(
             np.asarray(A @ x), np.asarray(b), rtol=2e-3, atol=2e-3
         )
+
+
+@pytest.mark.parametrize("mix_mode", ["bf16x2", "bf16"])
+def test_mix_modes_match_f32(intr, small_pair, mix_mode):
+    """The bf16 sampling-matmul modes reproduce the f32 normal equations to
+    within their documented error (bf16x2 ~2^-17 relative; bf16 ~4e-3)."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    (I0, D0, I1, gx, gy), _ = _case(small_pair, intr, "bilinear")
+    tgt = F.pack_target_colmajor(I1, gx, gy)
+    ref = F.fused_normal_equations_pallas(
+        I0, D0, tgt, STATE, intr, 0.3, 5.0, "bilinear", interpret=True,
+        mix_mode="f32",
+    )
+    ne = F.fused_normal_equations_pallas(
+        I0, D0, tgt, STATE, intr, 0.3, 5.0, "bilinear", interpret=True,
+        mix_mode=mix_mode,
+    )
+    tol = 5e-4 if mix_mode == "bf16x2" else 3e-2
+    scale = float(jnp.abs(ref.JtJ).max())
+    np.testing.assert_allclose(
+        np.asarray(ne.JtJ), np.asarray(ref.JtJ), atol=tol * scale
+    )
+    # Jtr sums signed per-pixel terms, so sample error is amplified by
+    # cancellation; bound it against the unsigned mass sqrt(JtJ_ii * cost)
+    # instead of the (cancellation-shrunk) |Jtr| max.
+    gscale = float(
+        jnp.sqrt(jnp.max(jnp.diagonal(ref.JtJ)) * jnp.maximum(ref.cost, 1.0))
+    )
+    np.testing.assert_allclose(
+        np.asarray(ne.Jtr), np.asarray(ref.Jtr), atol=tol * gscale
+    )
+    # valid mask is precision-independent
+    assert abs(float(ne.num_valid) - float(ref.num_valid)) < 0.5
+
+
+def test_mix_mode_config_plumbs_to_alignment(intr, small_pair):
+    """align_analytic with mix_mode set compiles and matches f32 closely on
+    the CPU fallback path (where mix_mode is a no-op) — guards the config
+    plumbing, not the kernel numerics (covered above / on-device)."""
+    from phovo_tpu.models.analytic import align_analytic
+    from phovo_tpu.utils.config import PhovoConfig
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = dict(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(2, 3), lambda_steps=(1.0,) * 2,
+        min_gradient_norms=(0.0,) * 2, sampling="nearest",
+    )
+    a = align_analytic(I0, D0, I1, D1, intr, jnp.zeros(6),
+                       PhovoConfig(**cfg, mix_mode="bf16x2"))
+    b = align_analytic(I0, D0, I1, D1, intr, jnp.zeros(6),
+                       PhovoConfig(**cfg, mix_mode="f32"))
+    np.testing.assert_allclose(np.asarray(a.state), np.asarray(b.state), atol=1e-6)

@@ -121,3 +121,21 @@ def test_ic_precompute_pallas_interpret_matches_xla(intr, small_pair):
     np.testing.assert_allclose(
         L_k, np.tril(np.asarray(L_ref)), atol=2e-4 * abs(np.asarray(L_ref)).max()
     )
+
+
+def test_ic_rejects_robust_loss(intr, small_pair):
+    """IC's precomputed factorization cannot honor IRLS reweighting; the
+    backend must fail loudly rather than silently ignore robust_loss."""
+    import pytest as _pytest
+
+    from phovo_tpu.models.ic import align_ic
+    from phovo_tpu.utils.config import PhovoConfig
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = PhovoConfig(
+        num_levels=1, blur_filter_sizes=(0,), gradient_scales=(0.03125,),
+        max_iterations=(3,), lambda_steps=(1.0,), min_gradient_norms=(0.0,),
+        robust_loss="huber",
+    )
+    with _pytest.raises(ValueError, match="robust_loss"):
+        align_ic(I0, D0, I1, D1, intr, jnp.zeros(6, jnp.float32), cfg)
