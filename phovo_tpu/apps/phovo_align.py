@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2", "bf16"],
                    help="sampling-matmul precision in the fused TPU kernels "
                         "(overrides the config)")
+    p.add_argument("--save-diff-dir", default=None,
+                   help="with visualizeIterations: true in the config, write "
+                        "a per-GN-iteration diff PNG into this directory (the "
+                        "reference's per-iteration imshow, …Analytic.h:551-557)")
     return p
 
 
@@ -116,6 +120,31 @@ def _main(argv=None) -> int:
     print("Rt:")
     print(Rt)
     print("per-level iterations:", np.asarray(result.iterations))
+
+    if args.save_diff_dir and cfg.visualize_iterations:
+        if args.backend in ("analytic", "biobjective"):
+            from phovo_tpu.utils.trace import save_iteration_diffs, trace_alignment
+
+            records = trace_alignment(
+                src_i, src_d, tgt_i, tgt_d, intr, cfg, backend=args.backend
+            )
+            paths = save_iteration_diffs(
+                records, src_i, src_d, tgt_i, intr, args.save_diff_dir
+            )
+            print(f"wrote {len(paths)} per-iteration diff images to "
+                  f"{args.save_diff_dir}")
+        else:
+            print(
+                f"note: per-iteration trace not supported for backend "
+                f"{args.backend!r}; see per-level diagnostics above",
+                file=sys.stderr,
+            )
+    elif args.save_diff_dir:
+        print(
+            "note: --save-diff-dir needs visualizeIterations: true (or "
+            "visualize_iterations: true) in the config",
+            file=sys.stderr,
+        )
 
     if args.save_diff:
         import jax.numpy as jnp
