@@ -96,3 +96,43 @@ def test_vo_cli_outputs(tmp_path):
     recs = [json.loads(line) for line in metrics.read_text().splitlines()]
     assert len(recs) == 2 and "align_seconds" in recs[0]
     assert len(list(diffs.glob("*.png"))) == 2
+
+
+def test_phovo_eval_cli(tmp_path, capsys):
+    """phovo-eval scores a noisy trajectory against ground truth (in-tree
+    equivalent of the TUM evaluate_ate/evaluate_rpe workflow)."""
+    import json
+
+    import numpy as np
+
+    from phovo_tpu.apps.phovo_eval import main as eval_main
+    from phovo_tpu.ops import se3
+    from phovo_tpu.utils.trajectory import format_pose_line
+
+    rng = np.random.default_rng(3)
+    gt_lines, est_lines = ["# ground truth"], ["# estimated"]
+    for k in range(20):
+        state = np.array(
+            [0.05 * k, 0.01 * k, 0.0, 0.02 * k, 0.0, 0.0], np.float32
+        )
+        T = np.asarray(se3.pose_matrix(state))
+        gt_lines.append(format_pose_line(k * 0.1, T))
+        Tn = T.copy()
+        Tn[:3, 3] += rng.normal(scale=2e-3, size=3)
+        est_lines.append(format_pose_line(k * 0.1 + 0.003, Tn))
+    gt_p = tmp_path / "gt.txt"
+    est_p = tmp_path / "est.txt"
+    gt_p.write_text("\n".join(gt_lines) + "\n")
+    est_p.write_text("\n".join(est_lines) + "\n")
+
+    rc = eval_main([str(gt_p), str(est_p), "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ate"]["num_pairs"] == 20
+    assert 0.0 < out["ate"]["rmse"] < 0.01  # ~2 mm noise
+    assert out["rpe"]["trans_rmse"] < 0.02
+
+    # human-readable mode + error path
+    assert eval_main([str(gt_p), str(est_p), "--mode", "ate"]) == 0
+    assert "ATE over 20" in capsys.readouterr().out
+    assert eval_main([str(gt_p), str(tmp_path / "missing.txt")]) == 1
