@@ -46,9 +46,8 @@ def _bench_config():
         lambda_steps=(1.0,) * 5,
         min_gradient_norms=(0.0,) * 5,  # never fire: fixed work per align
         sampling="nearest",
-        # hi/lo bfloat16 split for the kernel's sampling matmuls: ~1.4x
-        # end-to-end, sample error ~2^-17 (below the u8/255 image
-        # quantization); the production default for VO (see ops/fused.py)
+        # the production default (hi/lo bfloat16 sampling matmuls, ~1.4x
+        # over mix_mode='f32' at ~2e-6 relative NE agreement; ops/fused.py)
         mix_mode="bf16x2",
     )
 

@@ -87,10 +87,11 @@ class PhovoConfig:
     robust_loss: str = "none"
     robust_delta: float = 0.1
     # Sampling-matmul precision inside the fused Pallas kernel (ops/fused.py):
-    # 'f32' exact; 'bf16x2' hi/lo bfloat16 split (~2x faster mix dots, sample
-    # error ~2^-17, below u8 image quantization); 'bf16' single pass (~4x,
-    # error ~4e-3). Only affects the fused TPU path.
-    mix_mode: str = "f32"
+    # 'bf16x2' (default) hi/lo bfloat16 split — ~1.4x faster end-to-end,
+    # reproduces the f32 normal equations to ~2e-6 relative (below the u8/255
+    # image quantization); 'f32' exact (validation mode); 'bf16' single pass
+    # (~4x faster dots, sample error ~4e-3). Only affects the fused TPU path.
+    mix_mode: str = "bf16x2"
 
     def trust_region_options(self, level: int) -> TROptions:
         def get(field, default):
