@@ -82,11 +82,9 @@ def _main(argv=None) -> int:
     from phovo_tpu.models import BACKENDS
     from phovo_tpu.utils.config import load_config
 
-    cfg = load_config(args.config)
-    if args.mix_mode is not None:
-        import dataclasses
+    from phovo_tpu.utils.config import override_config
 
-        cfg = dataclasses.replace(cfg, mix_mode=args.mix_mode)
+    cfg = override_config(load_config(args.config), mix_mode=args.mix_mode)
     intr = parse_intrinsics(args.intrinsics)
 
     src_i = cv2.imread(args.source_intensity, cv2.IMREAD_GRAYSCALE)

@@ -121,11 +121,9 @@ def _main(argv=None) -> int:
         relative_pose_error,
     )
 
-    cfg = load_config(args.config)
-    if args.mix_mode is not None:
-        import dataclasses
+    from phovo_tpu.utils.config import override_config
 
-        cfg = dataclasses.replace(cfg, mix_mode=args.mix_mode)
+    cfg = override_config(load_config(args.config), mix_mode=args.mix_mode)
     intr = parse_intrinsics(args.intrinsics)
 
     from phovo_tpu.datasets import native_loader

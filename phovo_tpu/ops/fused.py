@@ -67,6 +67,54 @@ except Exception:  # pragma: no cover
 FUSED_MAX_H = 128
 
 
+def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
+    """dot(block (M, W) f32, colw (W, N) one/two-hot f32) -> (M, N) f32 at
+    the selected sampling precision — THE shared sampling primitive of both
+    Pallas kernels (this module's _linearize_gram and ops/ic.py).
+
+      f32    — exact, uses the package-global "highest" matmul precision
+               (6 bf16 MXU passes); reference/validation mode.
+      bf16x2 — hi/lo bfloat16 split of the block: 2 passes for nearest
+               (one-hot weights are bf16-exact), 3 for bilinear (the
+               fractional weights get their own lo-compensation term:
+               hi*cw_hi + hi*cw_lo + lo*cw_hi; the dropped lo*cw_lo term is
+               O(2^-16 * 2^-8)). Reproduces the f32 result to ~2^-17.
+      bf16   — single pass, ~4x faster dots, sample error ~4e-3.
+
+    The bf16 dots must pin precision=DEFAULT: the package sets
+    jax_default_matmul_precision="highest" globally (correct for the f32
+    mode), but "highest" lowers bf16 operands to a contract_precision<fp32>
+    tpu.matmul that Mosaic rejects ("Bad lhs type") — and bf16 inputs
+    already define the precision.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if mix_mode == "f32":
+        return jax.lax.dot_general(
+            block, colw, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    def _bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    colw_hi = colw.astype(jnp.bfloat16)
+    hi = block.astype(jnp.bfloat16)
+    if mix_mode == "bf16":
+        return _bdot(hi, colw_hi)
+    if mix_mode != "bf16x2":
+        raise ValueError(f"unknown mix_mode {mix_mode!r}")
+    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = _bdot(hi, colw_hi) + _bdot(lo, colw_hi)
+    if bilinear:
+        colw_lo = (colw - colw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + _bdot(hi, colw_lo)
+    return out
+
+
 def pack_target(target_intensity, target_grad_x, target_grad_y):
     """(H, W, 4) channel-packed target for single-gather sampling."""
     z = jnp.zeros_like(target_intensity)
@@ -367,61 +415,10 @@ def _linearize_gram(
 
         # The column-mix dot is the kernel's single most expensive op (the
         # MXU runs f32 matmuls at 1/4 rate; ablation showed the dots are
-        # ~50% of total kernel time at fine levels). mix_mode selects:
-        #   f32    — exact, slowest (reference/validation mode)
-        #   bf16x2 — hi/lo bfloat16 split: two bf16 dots reproduce the f32
-        #            sample to ~2^-17 relative (well below the u8/255 image
-        #            quantization); ~2x faster than f32
-        #   bf16   — single bf16 dot, ~4x faster, sample error ~4e-3
-        # The bf16 dots must pin precision=DEFAULT: the package sets
-        # jax_default_matmul_precision="highest" globally (correct for the
-        # f32 Gram/mix dots), but "highest" lowers bf16 operands to a
-        # contract_precision<fp32> tpu.matmul that Mosaic rejects
-        # ("Bad lhs type") — and bf16 inputs already define the precision.
-        def _dot(a, b):
-            prec = None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-            return jax.lax.dot_general(
-                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        if mix_mode == "f32":
-            colw_m = colw
-
-            def col_mix(block):
-                return _dot(block, colw_m)
-
-        elif mix_mode == "bf16":
-            colw_m = colw.astype(jnp.bfloat16)
-
-            def col_mix(block):
-                return _dot(block.astype(jnp.bfloat16), colw_m)
-
-        else:  # bf16x2
-            colw_m = colw.astype(jnp.bfloat16)
-            if bilinear:
-                # Bilinear weights are fractional, so they quantize at bf16
-                # (~4e-3) — compensate with a weight lo-term as well:
-                # hi*cw_hi + hi*cw_lo + lo*cw_hi (the dropped lo*cw_lo term
-                # is O(2^-16 * 2^-8)). Nearest weights are exact one-hots in
-                # bf16, so the 2-dot form below already achieves ~2^-17.
-                colw_lo = (colw - colw_m.astype(jnp.float32)).astype(
-                    jnp.bfloat16
-                )
-
-                def col_mix(block):
-                    hi = block.astype(jnp.bfloat16)
-                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    return (
-                        _dot(hi, colw_m) + _dot(hi, colw_lo) + _dot(lo, colw_m)
-                    )
-
-            else:
-
-                def col_mix(block):
-                    hi = block.astype(jnp.bfloat16)
-                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    return _dot(hi, colw_m) + _dot(lo, colw_m)
+        # ~50% of total kernel time at fine levels) — mixed_col_dot selects
+        # the sampling precision (see its docstring for the mode trade-offs).
+        def col_mix(block):
+            return mixed_col_dot(block, colw, mix_mode, bilinear)
 
         # All channels are sampled with ONE column-mix matmul: the target is
         # channel-major stacked (CH*H, W), the banded lhs block is the

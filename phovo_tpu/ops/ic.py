@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
-from phovo_tpu.ops.fused import _pad_flat, _pick_tile_pixels
+from phovo_tpu.ops.fused import _pad_flat, _pick_tile_pixels, mixed_col_dot
 from phovo_tpu.ops.residuals import warp_and_jacobian
 
 try:  # pragma: no cover - import guard
@@ -244,42 +244,9 @@ def _ic_gn_kernel(
                 roww = jnp.where(iota_h == r_lo_loc, 1.0, 0.0)
 
             block = t_i_ref[pl.ds(band, BAND), :] if BAND < H else t_i_ref[:]
-            # mix_mode mirrors ops/fused.py: bf16 dots must pin
-            # precision=DEFAULT (the package-global "highest" lowers bf16
-            # operands to a contract_precision<fp32> matmul Mosaic rejects).
-            if mix_mode == "f32":
-                C = jax.lax.dot_general(
-                    block, colw, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                colw_h = colw.astype(jnp.bfloat16)
-
-                def _bdot(a):
-                    return jax.lax.dot_general(
-                        a, colw_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-
-                hi = block.astype(jnp.bfloat16)
-                if mix_mode == "bf16":
-                    C = _bdot(hi)
-                else:  # bf16x2 (weight lo-term needed for fractional
-                    # bilinear weights; nearest one-hots are bf16-exact —
-                    # see ops/fused.py col_mix)
-                    lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    C = _bdot(hi) + _bdot(lo)
-                    if bilinear:
-                        colw_lo = (
-                            colw - colw_h.astype(jnp.float32)
-                        ).astype(jnp.bfloat16)
-                        C = C + jax.lax.dot_general(
-                            hi, colw_lo,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT,
-                        )
+            # the shared sampling primitive keeps this kernel's numerics in
+            # lockstep with ops/fused.py (see mixed_col_dot docstring)
+            C = mixed_col_dot(block, colw, mix_mode, bilinear)
             i1w = jnp.sum(C * roww, axis=0, keepdims=True)  # (1, NT)
 
             validf = valid.astype(jnp.float32)

@@ -223,6 +223,15 @@ def config_from_dict(data: dict) -> PhovoConfig:
     return PhovoConfig(**kwargs).validate()
 
 
+def override_config(cfg: PhovoConfig, **overrides) -> PhovoConfig:
+    """Apply CLI-style overrides to a loaded config, skipping None values
+    (unset flags). Shared by the phovo-align / phovo-vo argument handling."""
+    kept = {k: v for k, v in overrides.items() if v is not None}
+    if not kept:
+        return cfg
+    return dataclasses.replace(cfg, **kept).validate()
+
+
 def builtin_config_dir() -> Path:
     return Path(__file__).resolve().parent.parent / "configs"
 

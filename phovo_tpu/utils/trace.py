@@ -114,7 +114,7 @@ def trace_alignment(
                     r, J, valid, config.robust_loss, config.robust_delta
                 )
 
-        else:
+        elif config.gradient_at == "warped":
             packed = fused_ops.pack_target(int1[level], gx1[level], gy1[level])
 
             def linearize(s, _l=level, _intr=intr_l, _packed=packed):
@@ -122,6 +122,20 @@ def trace_alignment(
                     int0[_l], dep0[_l], _packed, s, _intr,
                     config.min_depth, config.max_depth, config.sampling,
                     config.robust_loss, config.robust_delta,
+                )
+
+        else:  # gradient_at='source' must replay the reference-shaped path
+
+            def linearize(s, _l=level, _intr=intr_l):
+                from phovo_tpu.ops.residuals import photometric_residual_jacobian
+
+                r, J, valid = photometric_residual_jacobian(
+                    int0[_l], dep0[_l], int1[_l], gx1[_l], gy1[_l], s, _intr,
+                    min_depth=config.min_depth, max_depth=config.max_depth,
+                    sampling=config.sampling, gradient_at=config.gradient_at,
+                )
+                return normal_equations(
+                    r, J, valid, config.robust_loss, config.robust_delta
                 )
 
         linearize = jax.jit(linearize)

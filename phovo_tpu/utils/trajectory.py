@@ -151,6 +151,8 @@ def relative_pose_error(
 ) -> dict:
     """RPE over fixed frame-index delta (translational and rotational),
     following TUM evaluate_rpe semantics."""
+    if delta < 1:
+        raise ValueError(f"rpe delta must be >= 1, got {delta}")
     ie, ig = associate_timestamps(estimated.timestamps, ground_truth.timestamps, max_dt)
     if len(ie) < delta + 1:
         raise ValueError("not enough associated poses for requested delta")

@@ -139,3 +139,26 @@ def test_ic_rejects_robust_loss(intr, small_pair):
     )
     with _pytest.raises(ValueError, match="robust_loss"):
         align_ic(I0, D0, I1, D1, intr, jnp.zeros(6, jnp.float32), cfg)
+
+
+@pytest.mark.parametrize("sampling", ["nearest", "bilinear"])
+def test_ic_mix_modes_match_f32(intr, small_pair, sampling):
+    """The IC kernel's bf16x2 sampling path (shared mixed_col_dot) tracks the
+    f32 kernel closely — guards the shared-primitive wiring in ops/ic.py."""
+    if not ic_ops._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    I0, D0, I1, _, _ = small_pair
+    I0, D0, I1 = map(jnp.asarray, (I0, D0, I1))
+    gx0, gy0 = pyr.scharr(I0, "x", 0.03125), pyr.scharr(I0, "y", 0.03125)
+    J8, L = ic_ops.ic_precompute(I0, D0, gx0, gy0, intr, 0.3, 5.0)
+    T0 = se3.pose_matrix(jnp.zeros(6))
+    Tf, itf, *_ = ic_ops.ic_gn_level(
+        T0, D0, J8, L, I1, intr, 4, 1e-10, 1.0, sampling,
+        interpret=True, mix_mode="f32",
+    )
+    Tb, itb, *_ = ic_ops.ic_gn_level(
+        T0, D0, J8, L, I1, intr, 4, 1e-10, 1.0, sampling,
+        interpret=True, mix_mode="bf16x2",
+    )
+    assert int(itf) == int(itb)
+    np.testing.assert_allclose(np.asarray(Tb), np.asarray(Tf), atol=5e-4)

@@ -75,3 +75,21 @@ def test_save_iteration_diffs(intr, small_pair, tmp_path):
 
     img = cv2.imread(paths[-1], cv2.IMREAD_GRAYSCALE)
     assert img is not None and img.shape == I0.shape
+
+
+def test_trace_honors_gradient_at_source(intr, small_pair):
+    """gradient_at: 'source' replays through the reference-shaped linearizer
+    (regression: the trace used warped gradients regardless, diverging from
+    the solver it documents)."""
+    from phovo_tpu.models.analytic import align_analytic
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = dataclasses.replace(CFG, gradient_at="source")
+    records = trace_alignment(I0, D0, I1, D1, intr, cfg, backend="analytic")
+    res = align_analytic(
+        jnp.asarray(I0), jnp.asarray(D0), jnp.asarray(I1), jnp.asarray(D1),
+        intr, jnp.zeros(6, jnp.float32), cfg, use_fused=False,
+    )
+    np.testing.assert_allclose(
+        records[-1].state, np.asarray(res.state), atol=1e-5
+    )
