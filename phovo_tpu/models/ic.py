@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import ic as ic_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops import se3
@@ -78,7 +79,7 @@ def align_ic(
             continue
         intr_l = intr.at_level(level)
         H = int0[level].shape[0]
-        fused_level = fused_ok and H <= 128
+        fused_level = fused_ok and H <= fused_ops.FUSED_MAX_H
         if fused_level:
             # one-pass fused precompute (J8 rows + in-kernel Cholesky) — the
             # XLA version materializes the (H, W, 2, 6) pixel Jacobian and
