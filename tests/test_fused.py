@@ -233,3 +233,33 @@ def test_mix_mode_config_plumbs_to_alignment(intr, small_pair):
     b = align_analytic(I0, D0, I1, D1, intr, jnp.zeros(6),
                        PhovoConfig(**cfg, mix_mode="f32"))
     np.testing.assert_allclose(np.asarray(a.state), np.asarray(b.state), atol=1e-6)
+
+
+def test_pallas_kernel_above_old_cap(intr):
+    """The fused kernel region H > 128 (enabled when FUSED_MAX_H rose to
+    cover VGA) matches the packed XLA path — guards the banded-window and
+    tiling logic at fine-level sizes."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.ops.camera import Intrinsics
+    from phovo_tpu.utils.synthetic import make_pair
+
+    H, W = 160, 192
+    intr_big = Intrinsics(
+        np.float32(200.0), np.float32(200.0),
+        np.float32(W / 2 - 0.5), np.float32(H / 2 - 0.5),
+    )
+    I0, D0, I1, _, _ = make_pair(intr_big, shape=(H, W))
+    I0, D0, I1 = map(jnp.asarray, (I0, D0, I1))
+    gx = I1 * 0.3 + 0.05
+    gy = I1 * -0.2 + 0.02
+    assert H > 128  # the region this test exists for
+    packed = F.pack_target(I1, gx, gy)
+    ne_ref = F.packed_normal_equations(
+        I0, D0, packed, STATE, intr_big, 0.3, 5.0, "nearest"
+    )
+    tgt = F.pack_target_colmajor(I1, gx, gy)
+    ne = F.fused_normal_equations_pallas(
+        I0, D0, tgt, STATE, intr_big, 0.3, 5.0, "nearest", interpret=True
+    )
+    _assert_close(ne, ne_ref)
