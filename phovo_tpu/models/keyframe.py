@@ -78,6 +78,8 @@ class KeyframeVisualOdometry:
         loop_max_mean_residual: float = 0.05,  # intensity units (0..1)
         loop_min_valid_fraction: float = 0.4,
         loop_weight: float = 10.0,
+        loop_max_translation_dev: float = 0.2,  # meters vs predicted relative
+        loop_max_rotation_dev: float = 0.3,  # radians vs predicted relative
     ):
         self.odometry = odometry
         self.kf_translation = kf_translation
@@ -88,6 +90,8 @@ class KeyframeVisualOdometry:
         self.loop_max_mean_residual = loop_max_mean_residual
         self.loop_min_valid_fraction = loop_min_valid_fraction
         self.loop_weight = loop_weight
+        self.loop_max_translation_dev = loop_max_translation_dev
+        self.loop_max_rotation_dev = loop_max_rotation_dev
 
         self.keyframes: list[Keyframe] = []
         self.tracked: list[TrackedFrame] = []
@@ -182,21 +186,46 @@ class KeyframeVisualOdometry:
         for old in self.keyframes[: max(0, new_kf.index - self.loop_min_gap)]:
             if np.linalg.norm(old.pose[:3, 3] - pos) > self.loop_radius:
                 continue
+            # Initialize the loop alignment from the PREDICTED relative pose
+            # (the current graph estimates), not from zero: candidate
+            # keyframes can be far apart in viewpoint, and a zero-init direct
+            # alignment often converges to a wrong local optimum that still
+            # looks photometrically plausible — a wrong edge at loop_weight
+            # then drags the whole graph.
+            rel_pred = np.linalg.inv(old.pose) @ new_kf.pose
+            init = np.asarray(
+                se3.matrix_to_state(jnp.asarray(np.linalg.inv(rel_pred))),
+                np.float32,
+            )
             res = self._align(
-                old.intensity, old.depth, new_kf.intensity, new_kf.depth
+                old.intensity, old.depth, new_kf.intensity, new_kf.depth, init
             )
             cost, nvalid = self._finest_stats(res)
             npix = new_kf.intensity.size
             mean_res = np.sqrt(cost / max(nvalid, 1.0))
             if (
-                nvalid / npix >= self.loop_min_valid_fraction
-                and mean_res <= self.loop_max_mean_residual
+                nvalid / npix < self.loop_min_valid_fraction
+                or mean_res > self.loop_max_mean_residual
             ):
-                state = np.asarray(res.state, dtype=np.float64)
-                rel = np.linalg.inv(np.asarray(se3.pose_matrix(state)))
-                self.loop_closures.append(
-                    LoopClosure(old.index, new_kf.index, rel, mean_res)
-                )
+                continue
+            state = np.asarray(res.state, dtype=np.float64)
+            rel = np.linalg.inv(np.asarray(se3.pose_matrix(state)))
+            # Geometric-consistency gate: a measured relative pose that
+            # deviates from the prediction by more than the plausible
+            # accumulated drift is a wrong-basin alignment, not a closure.
+            dev = np.linalg.inv(rel_pred) @ rel
+            trans_dev = float(np.linalg.norm(dev[:3, 3]))
+            rot_dev = float(
+                np.arccos(np.clip((np.trace(dev[:3, :3]) - 1.0) / 2.0, -1, 1))
+            )
+            if (
+                trans_dev > self.loop_max_translation_dev
+                or rot_dev > self.loop_max_rotation_dev
+            ):
+                continue
+            self.loop_closures.append(
+                LoopClosure(old.index, new_kf.index, rel, mean_res)
+            )
 
     # -- backend -------------------------------------------------------------
 

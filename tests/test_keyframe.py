@@ -161,3 +161,58 @@ def test_photometric_ba_fixes_perturbed_keyframes(loop_sequence):
         [np.linalg.norm(k.pose[:3, 3] - gt_kf[k.index][:3, 3]) for k in kvo.keyframes]
     )
     assert err_after < err_before / 2, (err_before, err_after)
+
+
+def test_loop_closure_uses_predicted_init(loop_sequence):
+    """Loop candidates with a LARGE relative transform (close positions,
+    different viewpoints) must align from the predicted relative pose, not
+    from zero — zero-init converges to a wrong basin there (regression)."""
+    del loop_sequence
+    vo = PhotoconsistencyOdometryAnalytic(CFG)
+    vo.set_intrinsic_matrix(np.asarray(INTR.matrix()))
+    # loop_min_gap=0: candidates are keyframes[:index - gap], i.e. the pair
+    # (0, 1) qualifies only with zero gap
+    kvo = KeyframeVisualOdometry(vo, loop_min_gap=0, loop_radius=0.5)
+
+    # two keyframes sharing a position region but rotated/translated enough
+    # that a zero-init direct alignment would not recover the transform
+    st_a = np.zeros(6)
+    st_b = np.array([0.12, -0.04, 0.02, 0.12, 0.05, 0.0])
+    from phovo_tpu.models.keyframe import Keyframe
+
+    for idx, st in ((0, st_a), (1, st_b)):
+        T_cam = np.asarray(se3.pose_matrix(st))
+        I, D = render_plane(INTR, SHAPE, T_cam)
+        kvo.keyframes.append(
+            Keyframe(
+                index=idx, frame_index=idx, timestamp=float(idx),
+                intensity=(I * 255).astype(np.uint8), depth=D,
+                pose=np.linalg.inv(T_cam),
+            )
+        )
+    kvo._try_loop_closure(kvo.keyframes[-1])
+    assert len(kvo.loop_closures) == 1
+    rel_true = kvo.keyframes[0].pose
+    rel_true = np.linalg.inv(rel_true) @ kvo.keyframes[1].pose
+    rel = kvo.loop_closures[0].relative
+    assert np.linalg.norm(rel[:3, 3] - rel_true[:3, 3]) < 5e-3
+
+
+def test_loop_closure_consistency_gate(loop_sequence):
+    """A measured loop edge deviating wildly from the predicted relative
+    pose (wrong-basin alignment) must be rejected even if it looks
+    photometrically plausible (regression: such edges dragged the graph)."""
+    frames, _ = loop_sequence
+    kvo = _make_kvo()
+    list(kvo.run(frames))
+    n_before = len(kvo.loop_closures)
+
+    class BogusResult:
+        state = np.array([0.5, 0.4, 0.0, 0.8, 0.0, 0.0], np.float32)
+        iterations = np.array([1, 1])
+        cost = np.array([1e-6, 1e-6])
+        num_valid = np.array([SHAPE[0] * SHAPE[1]] * 2, np.float32)
+
+    kvo._align = lambda *a, **k: BogusResult()  # perfect-looking, wrong pose
+    kvo._try_loop_closure(kvo.keyframes[-1])
+    assert len(kvo.loop_closures) == n_before  # all bogus edges rejected
