@@ -94,6 +94,10 @@ def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
     mode), but "highest" lowers bf16 operands to a contract_precision<fp32>
     tpu.matmul that Mosaic rejects ("Bad lhs type") — and bf16 inputs
     already define the precision.
+
+    colw may arrive already in bfloat16 (nearest one-hot weights are
+    bf16-exact): building the mask directly in bf16 skips a full (W, NT)
+    cast per iteration, the kernel's largest single elementwise array.
     """
     dims = (((1,), (0,)), ((), ()))
     if mix_mode == "f32":
@@ -109,7 +113,7 @@ def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
             precision=jax.lax.Precision.DEFAULT,
         )
 
-    colw_hi = colw.astype(jnp.bfloat16)
+    colw_hi = colw if colw.dtype == jnp.bfloat16 else colw.astype(jnp.bfloat16)
     hi = block.astype(jnp.bfloat16)
     if mix_mode == "bf16":
         return _bdot(hi, colw_hi)
@@ -121,6 +125,35 @@ def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
         colw_lo = (colw - colw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = out + _bdot(hi, colw_lo)
     return out
+
+
+def pack_geometry(source_depth, intr, min_depth, max_depth, NP):
+    """State-invariant per-pixel geometry, hoisted out of the GN iteration
+    loop: (4, NP) rows [px, py, pz, valid_depth] where (px, py, pz) is the
+    back-projected source point and valid_depth the (minD, maxD) range mask.
+
+    Inside the kernels these were recomputed every iteration (pixel-index
+    iota, integer div/mod by a non-power-of-two W, two f32 divides, two range
+    compares — all state-independent); computing them once per level in XLA
+    and keeping them VMEM-resident across the in-kernel while_loop removes
+    that work from every iteration. Padding pixels carry valid_depth 0."""
+    H, W = source_depth.shape
+    c = jnp.arange(W, dtype=jnp.float32)
+    r = jnp.arange(H, dtype=jnp.float32)
+    cc, rr = jnp.meshgrid(c, r)
+    px = (cc - intr.cx) * source_depth / intr.fx
+    py = (rr - intr.cy) * source_depth / intr.fy
+    validf = (
+        (source_depth > min_depth) & (source_depth < max_depth)
+    ).astype(jnp.float32)
+    geom = jnp.stack(
+        [px.reshape(-1), py.reshape(-1), source_depth.reshape(-1),
+         validf.reshape(-1)]
+    )  # (4, H*W)
+    N = H * W
+    if N != NP:
+        geom = jnp.pad(geom, ((0, 0), (0, NP - N)))
+    return geom
 
 
 def pack_target(target_intensity, target_grad_x, target_grad_y):
@@ -270,8 +303,8 @@ def _pad_flat(flat: jax.Array, n_pad: int) -> jax.Array:
 
 
 def _linearize_gram(
-    x, y, z, yaw, pitch, roll, fx, fy, cx, cy, minD, maxD,
-    i0_ref, d0_ref, t_all_ref,
+    x, y, z, yaw, pitch, roll, fx, fy, cx, cy,
+    i0_ref, geom_ref, t_all_ref,
     bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
     robust_loss="none", robust_delta=0.1,
 ):
@@ -279,6 +312,9 @@ def _linearize_gram(
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
     MXU one/two-hot sampling + the Gram of [J0..J5, r, valid]
     (see _fused_kernel docstring for the layout rules).
+
+    geom_ref is the (4, NP) hoisted source geometry from pack_geometry
+    ([px, py, pz, valid_depth] — state-invariant, computed once per level).
 
     t_all_ref is the channel-major target stack: (3H, W) photometric
     [I1; gx; gy], or (6H, W) bi-objective [I1; gx; gy; D1; dgx; dgy].
@@ -310,19 +346,15 @@ def _linearize_gram(
 
     def tile_gram(step):
         if n_tiles == 1:
-            d0 = d0_ref[:]  # (1, NT)
+            g4 = geom_ref[:]  # (4, NT)
             i0 = i0_ref[:]
         else:
             off = pl.multiple_of(step * NT, 128)
-            d0 = d0_ref[:, pl.ds(off, NT)]
+            g4 = geom_ref[:, pl.ds(off, NT)]
             i0 = i0_ref[:, pl.ds(off, NT)]
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1) + step * NT
-        rows = (pidx // W).astype(jnp.float32)
-        cols = (pidx % W).astype(jnp.float32)
-
-        pz = d0
-        px = (cols - cx) * pz / fx
-        py = (rows - cy) * pz / fy
+        px = g4[0:1]
+        py = g4[1:2]
+        pz = g4[2:3]
 
         tx = R00 * px + R01 * py + R02 * pz + x
         ty = R10 * px + R11 * py + R12 * pz + y
@@ -331,7 +363,7 @@ def _linearize_gram(
         iz = 1.0 / safe_z
         u = tx * fx * iz + cx
         v = ty * fy * iz + cy
-        valid = (d0 > minD) & (d0 < maxD) & (tz > 0)
+        valid = (g4[3:4] > 0.5) & (tz > 0)
 
         # rigid-jacobian rotation columns (dR @ p); dY2* are zero
         ry0 = dY00 * px + dY01 * py + dY02 * pz
@@ -372,20 +404,27 @@ def _linearize_gram(
             inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
         valid = valid & inb
 
-        c_lo = jnp.clip(c0, 0, W - 1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0).astype(jnp.float32)
+        # masks compare in int32: the iota stays in its native dtype (the
+        # f32 cast was a full (W, NT) VPU pass every iteration — measurable,
+        # since the mask build is the kernel's largest elementwise cost) and
+        # only the (1, NT) index rows get converted
+        c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
         if bilinear:
-            c_hi = jnp.clip(c0 + 1, 0, W - 1)
+            c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
             colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
                 iota_w == c_hi, fc, 0.0
             )  # (W, NT)
         else:
             # nearest: exact one-hot — a single compare/select on the largest
-            # per-iteration array (the two-hot form with fc=0 costs 2.5x)
-            colw = jnp.where(iota_w == c_lo, 1.0, 0.0)
+            # per-iteration array (the two-hot form with fc=0 costs 2.5x);
+            # built directly at the dot's operand precision so mixed_col_dot
+            # needs no (W, NT) cast (one-hot values are bf16-exact)
+            colw_dtype = jnp.float32 if mix_mode == "f32" else jnp.bfloat16
+            colw = (iota_w == c_lo).astype(colw_dtype)
 
-        r_lo = jnp.clip(r0, 0, H - 1)
-        r_hi = jnp.clip(r0 + 1, 0, H - 1) if bilinear else r_lo
+        r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
+        r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32) if bilinear else r_lo
 
         # Banded row window: the row-mix only needs the target rows this tile's
         # pixels actually land in. For a smooth warp a tile of consecutive
@@ -399,21 +438,20 @@ def _linearize_gram(
         tile_rows = max(1, NT // W)
         BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
         if BAND < H:
-            rmin = jnp.min(jnp.where(valid, r_lo, jnp.float32(H)))
-            band = jnp.clip(rmin, 0, H - BAND).astype(jnp.int32)
+            rmin = jnp.min(jnp.where(valid, r_lo, jnp.int32(H)))
+            band = jnp.clip(rmin, 0, H - BAND)
             band = (band // 8) * 8  # sublane-aligned dynamic slice start
             band = pl.multiple_of(band, 8)
-            bandf = band.astype(jnp.float32)
-            in_band = (r_lo >= bandf) & (r_hi <= bandf + (BAND - 1))
+            in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
             valid = valid & in_band
-            r_lo_loc = r_lo - bandf
-            r_hi_loc = r_hi - bandf
+            r_lo_loc = r_lo - band
+            r_hi_loc = r_hi - band
         else:
             band = 0
             r_lo_loc = r_lo
             r_hi_loc = r_hi
 
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0).astype(jnp.float32)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
         if bilinear:
             roww = jnp.where(iota_h == r_lo_loc, 1.0 - fr, 0.0) + jnp.where(
                 iota_h == r_hi_loc, fr, 0.0
@@ -517,7 +555,7 @@ def _linearize_gram(
 
 
 def _fused_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
+    state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
     out_ref, *, H, W, NT, NP, bilinear, mix_mode="f32",
     robust_loss="none", robust_delta=0.1,
 ):
@@ -535,8 +573,7 @@ def _fused_kernel(
         state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
         state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
         const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
-        const_ref[0, 4], const_ref[0, 5],
-        i0_ref, d0_ref, t_all_ref,
+        i0_ref, geom_ref, t_all_ref,
         H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta,
     )
@@ -624,7 +661,7 @@ def _run_gn_loop(
 
 
 def _fused_gn_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
+    state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
     mix_mode="f32", robust_loss="none", robust_delta=0.1,
@@ -645,13 +682,11 @@ def _fused_gn_kernel(
     fy = const_ref[0, 1]
     cx = const_ref[0, 2]
     cy = const_ref[0, 3]
-    minD = const_ref[0, 4]
-    maxD = const_ref[0, 5]
 
     def linearize(s0, s1, s2, s3, s4, s5):
         return _linearize_gram(
-            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
-            i0_ref, d0_ref, t_all_ref,
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+            i0_ref, geom_ref, t_all_ref,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
             robust_loss=robust_loss, robust_delta=robust_delta,
         )
@@ -663,7 +698,7 @@ def _fused_gn_kernel(
 
 
 def _fused_gn_bi_kernel(
-    state_ref, const_ref, i0_ref, d0_ref, t_all_ref,
+    state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
     mix_mode="f32", robust_loss="none", robust_delta=0.1,
@@ -676,14 +711,12 @@ def _fused_gn_bi_kernel(
     fy = const_ref[0, 1]
     cx = const_ref[0, 2]
     cy = const_ref[0, 3]
-    minD = const_ref[0, 4]
-    maxD = const_ref[0, 5]
     gain = const_ref[0, 6]
 
     def linearize(s0, s1, s2, s3, s4, s5):
         return _linearize_gram(
-            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy, minD, maxD,
-            i0_ref, d0_ref, t_all_ref,
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+            i0_ref, geom_ref, t_all_ref,
             bi=True, gain=gain,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
             robust_loss=robust_loss, robust_delta=robust_delta,
@@ -712,7 +745,7 @@ def make_fused_linearizer(
         robust_delta=float(robust_delta),
     )
     i0_flat = _pad_flat(source_intensity.reshape(1, H * W), NP)
-    d0_flat = _pad_flat(source_depth.reshape(1, H * W), NP)
+    geom = pack_geometry(source_depth, intr, min_depth, max_depth, NP)
     const = jnp.stack(
         [
             jnp.float32(intr.fx), jnp.float32(intr.fy),
@@ -739,7 +772,7 @@ def make_fused_linearizer(
         st = jnp.concatenate(
             [state.astype(jnp.float32), jnp.zeros(2, jnp.float32)]
         ).reshape(1, 8)
-        gram = call(st, const, i0_flat, d0_flat, t_all)
+        gram = call(st, const, i0_flat, geom, t_all)
         return NormalEquations(
             JtJ=gram[:6, :6], Jtr=gram[:6, 6], cost=gram[6, 6],
             num_valid=gram[7, 7],
@@ -799,7 +832,7 @@ def fused_gn_level(
     inputs = [
         st, const,
         _pad_flat(source_intensity.reshape(1, H * W), NP),
-        _pad_flat(source_depth.reshape(1, H * W), NP),
+        pack_geometry(source_depth, intr, min_depth, max_depth, NP),
         t_all,
     ]
     state_out, diag = pl.pallas_call(

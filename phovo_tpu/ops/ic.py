@@ -39,7 +39,9 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
-from phovo_tpu.ops.fused import _pad_flat, _pick_tile_pixels, mixed_col_dot
+from phovo_tpu.ops.fused import (
+    _pad_flat, _pick_tile_pixels, mixed_col_dot, pack_geometry,
+)
 from phovo_tpu.ops.residuals import warp_and_jacobian
 
 try:  # pragma: no cover - import guard
@@ -147,7 +149,7 @@ def _tri_solve(L_get, g):
 
 
 def _ic_gn_kernel(
-    state_ref, const_ref, L_ref, d0_ref, J8_ref, t_i_ref,
+    state_ref, const_ref, L_ref, geom_ref, J8_ref, t_i_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
     mix_mode="f32",
@@ -157,6 +159,9 @@ def _ic_gn_kernel(
     state_ref (SMEM, (1, 16)): [R row-major (9), t (3), pad]. The pose stays
     in matrix form throughout (Pallas TPU has no atan2 for Euler extraction).
     L_ref (SMEM, (1, 36)): row-major 6x6 Cholesky factor of J0^T J0.
+    geom_ref (VMEM, (4, NP)): hoisted [px, py, pz, valid_depth] source
+    geometry (ops/fused.py pack_geometry) — state-invariant, so it is NOT
+    recomputed per iteration.
     J8_ref (VMEM, (8, NP)): [J0..J5; I0; valid0] from ic_precompute.
     """
     fx = const_ref[0, 0]
@@ -174,14 +179,11 @@ def _ic_gn_kernel(
         def tile(step, acc):
             g_acc, cost_acc, nv_acc = acc
             off = pl.multiple_of(step * NT, 128)
-            d0 = d0_ref[:, pl.ds(off, NT)] if n_tiles > 1 else d0_ref[:]
+            g4 = geom_ref[:, pl.ds(off, NT)] if n_tiles > 1 else geom_ref[:]
             J8 = J8_ref[:, pl.ds(off, NT)] if n_tiles > 1 else J8_ref[:]
-            pidx = jax.lax.broadcasted_iota(jnp.int32, (1, NT), 1) + step * NT
-            rows = (pidx // W).astype(jnp.float32)
-            cols = (pidx % W).astype(jnp.float32)
-            pz = d0
-            px = (cols - cx) * pz / fx
-            py = (rows - cy_) * pz / fy
+            px = g4[0:1]
+            py = g4[1:2]
+            pz = g4[2:3]
             tx = R00 * px + R01 * py + R02 * pz + t0
             ty = R10 * px + R11 * py + R12 * pz + t1
             tz = R20 * px + R21 * py + R22 * pz + t2
@@ -203,39 +205,43 @@ def _ic_gn_kernel(
                 inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
             valid = valid & inb
 
-            c_lo = jnp.clip(c0, 0, W - 1)
-            iota_w = jax.lax.broadcasted_iota(
-                jnp.int32, (W, NT), 0
-            ).astype(jnp.float32)
+            # int32 mask compares — see ops/fused.py _linearize_gram
+            c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
             if bilinear:
-                c_hi = jnp.clip(c0 + 1, 0, W - 1)
+                c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
                 colw = jnp.where(iota_w == c_lo, 1.0 - fc, 0.0) + jnp.where(
                     iota_w == c_hi, fc, 0.0
                 )
             else:
-                colw = jnp.where(iota_w == c_lo, 1.0, 0.0)
+                # one-hot built at the dot's operand precision (bf16-exact;
+                # skips a (W, NT) cast in mixed_col_dot — see ops/fused.py)
+                colw_dtype = (
+                    jnp.float32 if mix_mode == "f32" else jnp.bfloat16
+                )
+                colw = (iota_w == c_lo).astype(colw_dtype)
 
-            r_lo = jnp.clip(r0, 0, H - 1)
-            r_hi = jnp.clip(r0 + 1, 0, H - 1) if bilinear else r_lo
+            r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
+            r_hi = (
+                jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32)
+                if bilinear else r_lo
+            )
             tile_rows = max(1, NT // W)
             BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
             if BAND < H:
-                rmin = jnp.min(jnp.where(valid, r_lo, jnp.float32(H)))
-                band = jnp.clip(rmin, 0, H - BAND).astype(jnp.int32)
+                rmin = jnp.min(jnp.where(valid, r_lo, jnp.int32(H)))
+                band = jnp.clip(rmin, 0, H - BAND)
                 band = (band // 8) * 8
                 band = pl.multiple_of(band, 8)
-                bandf = band.astype(jnp.float32)
-                in_band = (r_lo >= bandf) & (r_hi <= bandf + (BAND - 1))
+                in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
                 valid = valid & in_band
-                r_lo_loc = r_lo - bandf
-                r_hi_loc = r_hi - bandf
+                r_lo_loc = r_lo - band
+                r_hi_loc = r_hi - band
             else:
                 band = 0
                 r_lo_loc = r_lo
                 r_hi_loc = r_hi
-            iota_h = jax.lax.broadcasted_iota(
-                jnp.int32, (BAND, NT), 0
-            ).astype(jnp.float32)
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
             if bilinear:
                 roww = jnp.where(iota_h == r_lo_loc, 1.0 - fr, 0.0) + jnp.where(
                     iota_h == r_hi_loc, fr, 0.0
@@ -347,7 +353,9 @@ def ic_gn_level(
             jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
         ]
     ).reshape(1, 8)
-    d0_flat = _pad_flat(source_depth.reshape(1, H * W), NP)
+    # hoisted geometry (the valid_depth row is unused here — J8 row 7
+    # already carries the depth-range mask from ic_precompute)
+    geom = pack_geometry(source_depth, intr, 0.0, float("inf"), NP)
     J8p = (
         J8 if J8.shape[1] == NP
         else jnp.pad(J8, ((0, 0), (0, NP - J8.shape[1])))
@@ -365,7 +373,7 @@ def ic_gn_level(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(state, const, Lrow, d0_flat, J8p, target_intensity)
+    )(state, const, Lrow, geom, J8p, target_intensity)
     Tn = jnp.eye(4, dtype=jnp.float32)
     Tn = Tn.at[:3, :3].set(state_out[0, :9].reshape(3, 3))
     Tn = Tn.at[:3, 3].set(state_out[0, 9:12])
