@@ -46,9 +46,10 @@ def _bench_config():
         lambda_steps=(1.0,) * 5,
         min_gradient_norms=(0.0,) * 5,  # never fire: fixed work per align
         sampling="nearest",
-        # the production default (hi/lo bfloat16 sampling matmuls, ~1.4x
-        # over mix_mode='f32' at ~2e-6 relative NE agreement; ops/fused.py)
-        mix_mode="bf16x2",
+        # the production default (hi/lo bfloat16 residual channels +
+        # single-pass bf16 gradient channels: one 128-row MXU pass, ~3e-5
+        # relative NE agreement with exact cost/residuals; ops/fused.py)
+        mix_mode="bf16x2g",
     )
 
 

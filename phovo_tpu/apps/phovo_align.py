@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-diff", default=None,
                    help="write |target - warped source| image here (the "
                         "reference's imshow verification, …cpp:107-112)")
-    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2", "bf16"],
+    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2g", "bf16x2", "bf16"],
                    help="sampling-matmul precision in the fused TPU kernels "
                         "(overrides the config)")
     p.add_argument("--save-diff-dir", default=None,

@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-diff-dir", default=None,
                    help="write per-frame |target - warped source| PNGs here "
                         "(the reference's imshow diagnostic, rendered to disk)")
-    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2", "bf16"],
+    p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2g", "bf16x2", "bf16"],
                    help="sampling-matmul precision in the fused TPU kernels "
                         "(overrides the config; bf16x2 is ~1.4x faster "
                         "end-to-end with sample error below the u8 image "

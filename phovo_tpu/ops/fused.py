@@ -105,6 +105,10 @@ def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
             block, colw, dimension_numbers=dims,
             preferred_element_type=jnp.float32,
         )
+    if mix_mode == "bf16x2g":
+        # single-channel callers (ops/ic.py samples intensity only) have no
+        # gradient rows to downgrade: g-mode degenerates to bf16x2
+        mix_mode = "bf16x2"
 
     def _bdot(a, b):
         return jax.lax.dot_general(
@@ -124,6 +128,63 @@ def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
     if bilinear:
         colw_lo = (colw - colw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = out + _bdot(hi, colw_lo)
+    return out
+
+
+def _bf16_dot(a, b):
+    """bf16 MXU dot with f32 accumulation (precision pinned to DEFAULT —
+    see mixed_col_dot on why 'highest' must not leak into bf16 operands)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _split_sample(blocks, colw, bilinear, exact):
+    """mix_mode='bf16x2g' sampling: ONE stacked bf16 column-mix dot with
+    hi/lo-split rows for the channels in `exact` (intensity, and depth for
+    the bi-objective) and single-pass bf16 rows for the gradient channels.
+
+    Rationale: the column-mix dot's cost scales with MXU pass count, not
+    rows (the M axis is 128 deep). bf16x2 spends 2 full passes making ALL
+    channels exact to ~2^-17; but only the channels that enter RESIDUALS
+    need that (a bf16-sampled residual error ~4e-3 is the size of the u8
+    image quantization itself). The gradient channels only build the
+    Jacobian, where ~0.4% relative error perturbs the GN descent direction
+    without moving the fixed point (J^T r = 0 is driven by r): measured
+    pose agreement with f32 sampling is at the bf16x2 level while the
+    photometric stack [hi_I; lo_I; hi_gx; hi_gy] is exactly 4*BAND = 128
+    rows — one full-depth MXU pass instead of bf16x2's two.
+
+    blocks: CH x (BAND, W) f32 channel blocks. Returns CH x (BAND, NT) f32
+    sampled column values (caller applies the row mix)."""
+    colw_hi = colw if colw.dtype == jnp.bfloat16 else colw.astype(jnp.bfloat16)
+    parts, plan = [], []
+    for ch, b in enumerate(blocks):
+        hi = b.astype(jnp.bfloat16)
+        if ch in exact:
+            lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            plan.append((len(parts), len(parts) + 1))
+            parts.extend([hi, lo])
+        else:
+            plan.append((len(parts),))
+            parts.append(hi)
+    BAND = blocks[0].shape[0]
+    C = _bf16_dot(jnp.concatenate(parts, axis=0), colw_hi)
+    colw_lo = None
+    if bilinear and colw.dtype != jnp.bfloat16:
+        # two-hot fractional weights need their own lo term for the exact
+        # channels (same compensation as mixed_col_dot's bilinear bf16x2)
+        colw_lo = (colw - colw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = []
+    for ch, idxs in enumerate(plan):
+        c = C[idxs[0] * BAND:(idxs[0] + 1) * BAND]
+        if len(idxs) == 2:
+            c = c + C[idxs[1] * BAND:(idxs[1] + 1) * BAND]
+            if colw_lo is not None:
+                c = c + _bf16_dot(parts[idxs[0]], colw_lo)
+        out.append(c)
     return out
 
 
@@ -459,32 +520,32 @@ def _linearize_gram(
         else:
             roww = jnp.where(iota_h == r_lo_loc, 1.0, 0.0)
 
-        # The column-mix dot is the kernel's single most expensive op (the
-        # MXU runs f32 matmuls at 1/4 rate; ablation showed the dots are
-        # ~50% of total kernel time at fine levels) — mixed_col_dot selects
-        # the sampling precision (see its docstring for the mode trade-offs).
-        def col_mix(block):
-            return mixed_col_dot(block, colw, mix_mode, bilinear)
-
         # All channels are sampled with ONE column-mix matmul: the target is
         # channel-major stacked (CH*H, W), the banded lhs block is the
         # concatenation of each channel's BAND-row window, so the dot's M
         # height is CH*BAND (the MXU M axis is 128 deep — an M=BAND=32 dot
         # uses a quarter of the array; stacking recovers it at no FLOP cost).
+        # The column-mix dot is the kernel's single most expensive op —
+        # ablation shows its cost scales with MXU PASS count, so the mode
+        # trade is passes vs precision (mixed_col_dot / _split_sample).
         CH = 6 if bi else 3
         if BAND < H:
-            block = jnp.concatenate(
-                [t_all_ref[pl.ds(ch * H + band, BAND), :] for ch in range(CH)],
-                axis=0,
-            )  # (CH*BAND, W)
+            blocks = [
+                t_all_ref[pl.ds(ch * H + band, BAND), :] for ch in range(CH)
+            ]  # CH x (BAND, W)
         else:
-            block = t_all_ref[:]  # (CH*H, W)
-        C = col_mix(block)  # (CH*BAND, NT)
-        roww_all = jnp.concatenate([roww] * CH, axis=0)
-        M = C * roww_all
+            blocks = [t_all_ref[ch * H:(ch + 1) * H, :] for ch in range(CH)]
+        if mix_mode == "bf16x2g":
+            C_ch = _split_sample(
+                blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
+            )
+        else:
+            C = mixed_col_dot(
+                jnp.concatenate(blocks, axis=0), colw, mix_mode, bilinear
+            )  # (CH*BAND, NT)
+            C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
         samples = [
-            jnp.sum(M[ch * BAND : (ch + 1) * BAND], axis=0, keepdims=True)
-            for ch in range(CH)
+            jnp.sum(c * roww, axis=0, keepdims=True) for c in C_ch
         ]
         i1w, gxw, gyw = samples[0], samples[1], samples[2]
 
@@ -608,13 +669,21 @@ def _run_gn_loop(
             b = [gram[i, 6] for i in range(6)]
             cost = gram[6, 6]
         nvalid = gram[7, 7]
+        # scalar Cholesky with rsqrt and cached reciprocals: the scalar
+        # unit's sqrt/div are multi-cycle, and at the coarse levels (50
+        # iterations of a 1200-pixel image) the solve is a visible slice of
+        # the iteration — one rsqrt per pivot, reciprocals reused by both
+        # substitution sweeps
         L = [[None] * 6 for _ in range(6)]
+        inv_diag = [None] * 6
         for i in range(6):
             acc = A[i][i]
             for k in range(i):
                 acc = acc - L[i][k] * L[i][k]
-            L[i][i] = jnp.sqrt(jnp.maximum(acc, 1e-30))
-            inv_d = 1.0 / L[i][i]
+            acc = jnp.maximum(acc, 1e-30)
+            inv_d = jax.lax.rsqrt(acc)
+            L[i][i] = acc * inv_d  # sqrt(acc)
+            inv_diag[i] = inv_d
             for j in range(i + 1, 6):
                 acc = A[j][i]
                 for k in range(i):
@@ -625,13 +694,13 @@ def _run_gn_loop(
             acc = b[i]
             for k in range(i):
                 acc = acc - L[i][k] * ys[k]
-            ys[i] = acc / L[i][i]
+            ys[i] = acc * inv_diag[i]
         xs = [None] * 6
         for i in range(5, -1, -1):
             acc = ys[i]
             for k in range(i + 1, 6):
                 acc = acc - L[k][i] * xs[k]
-            xs[i] = acc / L[i][i]
+            xs[i] = acc * inv_diag[i]
         # non-finite guard: freeze instead of diverging
         finite = jnp.isfinite(xs[0])
         for k in range(1, 6):

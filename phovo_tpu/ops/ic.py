@@ -130,21 +130,25 @@ def _compose_inverse_update(R, t, delta, lam):
     return (n00, n01, n02, n10, n11, n12, n20, n21, n22), (nt0, nt1, nt2)
 
 
-def _tri_solve(L_get, g):
+def _tri_solve(L_get, g, inv_diag=None):
     """Solve (L L^T) x = g with scalar forward/back substitution; L_get(i, j)
-    returns the factor entry as a scalar."""
+    returns the factor entry as a scalar. inv_diag (precomputed 1/L[i][i])
+    avoids 12 multi-cycle scalar divides per call — the factor is constant
+    per level, so callers hoist the reciprocals out of the iteration loop."""
+    if inv_diag is None:
+        inv_diag = [1.0 / L_get(i, i) for i in range(6)]
     ys = [None] * 6
     for i in range(6):
         acc = g[i]
         for k in range(i):
             acc = acc - L_get(i, k) * ys[k]
-        ys[i] = acc / L_get(i, i)
+        ys[i] = acc * inv_diag[i]
     xs = [None] * 6
     for i in range(5, -1, -1):
         acc = ys[i]
         for k in range(i + 1, 6):
             acc = acc - L_get(k, i) * xs[k]
-        xs[i] = acc / L_get(i, i)
+        xs[i] = acc * inv_diag[i]
     return xs
 
 
@@ -276,6 +280,10 @@ def _ic_gn_kernel(
     def L_get(i, j):
         return L_ref[0, i * 6 + j]
 
+    # the factor is constant for the whole level: reciprocals hoisted out
+    # of the iteration loop (scalar divides are multi-cycle)
+    inv_diag = [1.0 / L_get(i, i) for i in range(6)]
+
     def cond(carry):
         it, gnorm = carry[12], carry[13]
         return (it < max_iterations) & (gnorm >= min_gradient_norm)
@@ -285,7 +293,7 @@ def _ic_gn_kernel(
         t = carry[9:12]
         g, cost, nvalid = level_pass(R, t)
         gs = [g[i, 0] for i in range(6)]
-        delta = _tri_solve(L_get, gs)
+        delta = _tri_solve(L_get, gs, inv_diag)
         finite = jnp.isfinite(delta[0])
         for k in range(1, 6):
             finite = finite & jnp.isfinite(delta[k])

@@ -87,11 +87,15 @@ class PhovoConfig:
     robust_loss: str = "none"
     robust_delta: float = 0.1
     # Sampling-matmul precision inside the fused Pallas kernel (ops/fused.py):
-    # 'bf16x2' (default) hi/lo bfloat16 split — ~1.4x faster end-to-end,
-    # reproduces the f32 normal equations to ~2e-6 relative (below the u8/255
-    # image quantization); 'f32' exact (validation mode); 'bf16' single pass
+    # 'bf16x2g' (default) hi/lo bfloat16 split for the residual channels
+    # (intensity/depth, exact to ~2e-6 relative — below the u8/255 image
+    # quantization) with single-pass bf16 gradient channels (Jacobian-only;
+    # ~0.4% relative, which perturbs the GN descent direction without moving
+    # the J^T r = 0 fixed point) — the photometric stack is exactly one
+    # 128-row MXU pass; 'bf16x2' hi/lo split for ALL channels (~2e-6
+    # everywhere); 'f32' exact (validation mode); 'bf16' single pass
     # (~4x faster dots, sample error ~4e-3). Only affects the fused TPU path.
-    mix_mode: str = "bf16x2"
+    mix_mode: str = "bf16x2g"
 
     def trust_region_options(self, level: int) -> TROptions:
         def get(field, default):
@@ -128,9 +132,10 @@ class PhovoConfig:
             raise ValueError(
                 f"robust_loss={self.robust_loss!r}; expected one of {LOSSES}"
             )
-        if self.mix_mode not in ("f32", "bf16x2", "bf16"):
+        if self.mix_mode not in ("f32", "bf16x2g", "bf16x2", "bf16"):
             raise ValueError(
-                f"mix_mode={self.mix_mode!r}; expected 'f32', 'bf16x2' or 'bf16'"
+                f"mix_mode={self.mix_mode!r}; expected 'f32', 'bf16x2g', "
+                "'bf16x2' or 'bf16'"
             )
         return self
 

@@ -181,10 +181,11 @@ def test_solve6_matches_linalg():
         )
 
 
-@pytest.mark.parametrize("mix_mode", ["bf16x2", "bf16"])
+@pytest.mark.parametrize("mix_mode", ["bf16x2", "bf16x2g", "bf16"])
 def test_mix_modes_match_f32(intr, small_pair, mix_mode):
     """The bf16 sampling-matmul modes reproduce the f32 normal equations to
-    within their documented error (bf16x2 ~2^-17 relative; bf16 ~4e-3)."""
+    within their documented error (bf16x2 ~2^-17 relative; bf16x2g exact
+    residual channels + bf16 gradient channels; bf16 ~4e-3)."""
     if not F._HAS_PALLAS:
         pytest.skip("pallas unavailable")
     (I0, D0, I1, gx, gy), _ = _case(small_pair, intr, "bilinear")
@@ -197,7 +198,7 @@ def test_mix_modes_match_f32(intr, small_pair, mix_mode):
         I0, D0, tgt, STATE, intr, 0.3, 5.0, "bilinear", interpret=True,
         mix_mode=mix_mode,
     )
-    tol = 5e-4 if mix_mode == "bf16x2" else 3e-2
+    tol = {"bf16x2": 5e-4, "bf16x2g": 1e-2, "bf16": 3e-2}[mix_mode]
     scale = float(jnp.abs(ref.JtJ).max())
     np.testing.assert_allclose(
         np.asarray(ne.JtJ), np.asarray(ref.JtJ), atol=tol * scale
