@@ -75,11 +75,13 @@ def main() -> int:
 
     cfg = _bench_config()
     I0, D0, I1, D1, _ = make_pair(TUM_FR1, shape=(H, W))
-    # A buffered video segment of alternating frames: 16 consecutive pairs
-    # aligned per device dispatch (the production deployment shape — the CPU
-    # baseline's tight frame loop has no dispatch overhead either, so
-    # sequence throughput is the apples-to-apples metric).
-    B = 17
+    # A buffered video segment of alternating frames: 64 consecutive pairs
+    # aligned per device dispatch (the throughput deployment shape,
+    # phovo-vo --chunk 64 — the CPU baseline's tight frame loop has no
+    # dispatch overhead either, so sequence throughput is the
+    # apples-to-apples metric; this chip is attached through a network
+    # tunnel whose ~1.5 ms per-dispatch latency the chunk amortizes).
+    B = 65
     Is = jnp.asarray(np.stack([I0, I1] * ((B + 1) // 2))[:B])
     Ds = jnp.asarray(np.stack([D0, D1] * ((B + 1) // 2))[:B])
     n_pairs = B - 1
