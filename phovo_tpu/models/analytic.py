@@ -55,10 +55,18 @@ def align_analytic(
     dep0 = pyr.build_pyramid(source_depth, L, None)
     int1 = pyr.build_pyramid(target_intensity, L, blur)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
+    esm = config.gradient_at == "esm"
+    if esm:
+        # ESM Jacobian (Benhimane & Malis 2004): also needs the SOURCE
+        # gradient pyramid (loop-invariant — hoisted into the kernels'
+        # geometry pack, ops/fused.py pack_geometry)
+        gx0, gy0 = pyr.build_gradient_pyramid(
+            int0, tuple(config.gradient_scales)
+        )
 
     fused_ok = (
         use_fused
-        and config.gradient_at == "warped"
+        and config.gradient_at in ("warped", "esm")
         and fused_ops._HAS_PALLAS
         and jax.default_backend() == "tpu"
     )
@@ -100,6 +108,7 @@ def align_analytic(
                 mix_mode=config.mix_mode,
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
+                source_grads=(gx0[level], gy0[level]) if esm else None,
             )
             state = st
             diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
@@ -121,6 +130,8 @@ def align_analytic(
                     s, _intr,
                     min_depth=config.min_depth, max_depth=config.max_depth,
                     sampling=config.sampling, gradient_at=config.gradient_at,
+                    source_grad_x=gx0[_lvl] if esm else None,
+                    source_grad_y=gy0[_lvl] if esm else None,
                 )
                 return normal_equations(
                     r, J, valid, config.robust_loss, config.robust_delta

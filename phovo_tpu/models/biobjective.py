@@ -46,6 +46,11 @@ def align_biobjective(
     config: PhovoConfig,
     use_fused: bool = True,
 ) -> AlignmentResult:
+    if config.gradient_at == "esm":
+        raise ValueError(
+            "gradient_at='esm' is photometric-only; the bi-objective "
+            "backend supports 'warped' and 'source'"
+        )
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     scales = tuple(config.gradient_scales)

@@ -188,7 +188,8 @@ def _split_sample(blocks, colw, bilinear, exact):
     return out
 
 
-def pack_geometry(source_depth, intr, min_depth, max_depth, NP):
+def pack_geometry(source_depth, intr, min_depth, max_depth, NP,
+                  source_grads=None):
     """State-invariant per-pixel geometry, hoisted out of the GN iteration
     loop: (4, NP) rows [px, py, pz, valid_depth] where (px, py, pz) is the
     back-projected source point and valid_depth the (minD, maxD) range mask.
@@ -197,7 +198,11 @@ def pack_geometry(source_depth, intr, min_depth, max_depth, NP):
     iota, integer div/mod by a non-power-of-two W, two f32 divides, two range
     compares — all state-independent); computing them once per level in XLA
     and keeping them VMEM-resident across the in-kernel while_loop removes
-    that work from every iteration. Padding pixels carry valid_depth 0."""
+    that work from every iteration. Padding pixels carry valid_depth 0.
+
+    source_grads=(gx0, gy0): the SOURCE intensity gradients for the ESM
+    Jacobian (gradient_at='esm') — also loop-invariant, appended as rows
+    4 and 5 (making the pack (6, NP))."""
     H, W = source_depth.shape
     c = jnp.arange(W, dtype=jnp.float32)
     r = jnp.arange(H, dtype=jnp.float32)
@@ -207,10 +212,11 @@ def pack_geometry(source_depth, intr, min_depth, max_depth, NP):
     validf = (
         (source_depth > min_depth) & (source_depth < max_depth)
     ).astype(jnp.float32)
-    geom = jnp.stack(
-        [px.reshape(-1), py.reshape(-1), source_depth.reshape(-1),
-         validf.reshape(-1)]
-    )  # (4, H*W)
+    rows = [px.reshape(-1), py.reshape(-1), source_depth.reshape(-1),
+            validf.reshape(-1)]
+    if source_grads is not None:
+        rows += [source_grads[0].reshape(-1), source_grads[1].reshape(-1)]
+    geom = jnp.stack(rows)  # (4 or 6, H*W)
     N = H * W
     if N != NP:
         geom = jnp.pad(geom, ((0, 0), (0, NP - N)))
@@ -367,7 +373,7 @@ def _linearize_gram(
     x, y, z, yaw, pitch, roll, fx, fy, cx, cy,
     i0_ref, geom_ref, t_all_ref,
     bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
-    robust_loss="none", robust_delta=0.1,
+    robust_loss="none", robust_delta=0.1, esm=False,
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
@@ -548,6 +554,12 @@ def _linearize_gram(
             jnp.sum(c * roww, axis=0, keepdims=True) for c in C_ch
         ]
         i1w, gxw, gyw = samples[0], samples[1], samples[2]
+        if esm:
+            # ESM Jacobian (Benhimane & Malis 2004): average the warped
+            # target gradient with the hoisted source gradient (geom rows
+            # 4/5) — second-order convergence from first derivatives only
+            gxw = 0.5 * (gxw + g4[4:5])
+            gyw = 0.5 * (gyw + g4[5:6])
 
         validf = valid.astype(jnp.float32)
         resid = (i1w - i0) * validf
@@ -618,7 +630,7 @@ def _linearize_gram(
 def _fused_kernel(
     state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
     out_ref, *, H, W, NT, NP, bilinear, mix_mode="f32",
-    robust_loss="none", robust_delta=0.1,
+    robust_loss="none", robust_delta=0.1, esm=False,
 ):
     """One linearization per call: reads the state from SMEM, emits the 8x8
     Gram. Used by the per-iteration linearizer API (make_fused_linearizer).
@@ -636,7 +648,7 @@ def _fused_kernel(
         const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
         i0_ref, geom_ref, t_all_ref,
         H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
-        robust_loss=robust_loss, robust_delta=robust_delta,
+        robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
     )
     out_ref[:] = gram
 
@@ -733,7 +745,7 @@ def _fused_gn_kernel(
     state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
-    mix_mode="f32", robust_loss="none", robust_delta=0.1,
+    mix_mode="f32", robust_loss="none", robust_delta=0.1, esm=False,
 ):
     """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
 
@@ -757,7 +769,7 @@ def _fused_gn_kernel(
             s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
             i0_ref, geom_ref, t_all_ref,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
-            robust_loss=robust_loss, robust_delta=robust_delta,
+            robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
         )
 
     _run_gn_loop(
@@ -801,20 +813,25 @@ def make_fused_linearizer(
     source_intensity, source_depth, tgt_cols, intr,
     min_depth, max_depth, sampling="nearest", interpret=False,
     mix_mode="f32", robust_loss="none", robust_delta=0.1,
+    source_grads=None,
 ):
     """Build linearize(state) -> NormalEquations with all loop-invariant work
     (flattening, constant SMEM pack, kernel specialization) done once, so a
-    GN iteration is exactly ONE pallas_call plus a couple of tiny reshapes."""
+    GN iteration is exactly ONE pallas_call plus a couple of tiny reshapes.
+
+    source_grads=(gx0, gy0) selects the ESM Jacobian (gradient_at='esm')."""
     H, W = source_intensity.shape
     NP, NT = _pick_tile_pixels(H, W)
     t_all = tgt_cols  # (3H, W) channel-major stack from pack_target_colmajor
     kernel = functools.partial(
         _fused_kernel, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
         mix_mode=mix_mode, robust_loss=robust_loss,
-        robust_delta=float(robust_delta),
+        robust_delta=float(robust_delta), esm=source_grads is not None,
     )
     i0_flat = _pad_flat(source_intensity.reshape(1, H * W), NP)
-    geom = pack_geometry(source_depth, intr, min_depth, max_depth, NP)
+    geom = pack_geometry(
+        source_depth, intr, min_depth, max_depth, NP, source_grads
+    )
     const = jnp.stack(
         [
             jnp.float32(intr.fx), jnp.float32(intr.fy),
@@ -858,6 +875,7 @@ def fused_gn_level(
     sampling: str = "nearest", interpret: bool = False,
     depth_cols=None, depth_gain=None, mix_mode: str = "f32",
     robust_loss: str = "none", robust_delta: float = 0.1,
+    source_grads=None,
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
 
@@ -868,6 +886,9 @@ def fused_gn_level(
     depth_cols = (target_depth, depth_grad_x, depth_grad_y) with depth_gain
     switches to the bi-objective intensity+depth objective.
 
+    source_grads=(gx0, gy0) selects the ESM Jacobian (gradient_at='esm';
+    photometric objective only).
+
     tgt_cols is the (3H, W) channel-major stack from pack_target_colmajor;
     with depth_cols the kernel sees a (6H, W) stack and samples all six
     channels with one column-mix matmul per tile.
@@ -877,14 +898,17 @@ def fused_gn_level(
     t_all = tgt_cols
     bi = depth_cols is not None
     if bi:
+        if source_grads is not None:
+            raise ValueError("gradient_at='esm' is photometric-only")
         t_all = jnp.concatenate([t_all] + list(depth_cols), axis=0)  # (6H, W)
     kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
+    extra = {} if bi else {"esm": source_grads is not None}
     kernel = functools.partial(
         kern_fn, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
         max_iterations=float(max_iterations),
         min_gradient_norm=float(min_gradient_norm),
         lambda_step=float(lambda_step), mix_mode=mix_mode,
-        robust_loss=robust_loss, robust_delta=float(robust_delta),
+        robust_loss=robust_loss, robust_delta=float(robust_delta), **extra,
     )
     gain = jnp.float32(0.0) if depth_gain is None else jnp.asarray(depth_gain, jnp.float32)
     const = jnp.stack(
@@ -901,7 +925,8 @@ def fused_gn_level(
     inputs = [
         st, const,
         _pad_flat(source_intensity.reshape(1, H * W), NP),
-        pack_geometry(source_depth, intr, min_depth, max_depth, NP),
+        pack_geometry(source_depth, intr, min_depth, max_depth, NP,
+                      source_grads),
         t_all,
     ]
     state_out, diag = pl.pallas_call(
@@ -940,11 +965,13 @@ def fused_normal_equations_pallas(
     mix_mode: str = "f32",
     robust_loss: str = "none",
     robust_delta: float = 0.1,
+    source_grads=None,
 ) -> NormalEquations:
     linearize = make_fused_linearizer(
         source_intensity, source_depth, tgt_cols, intr,
         float(min_depth), float(max_depth), sampling, interpret,
         mix_mode=mix_mode, robust_loss=robust_loss, robust_delta=robust_delta,
+        source_grads=source_grads,
     )
     return linearize(state)
 
@@ -968,14 +995,16 @@ def fused_normal_equations(
     gradient_at: str = "warped",
     robust_loss: str = "none",
     robust_delta: float = 0.1,
+    source_grads=None,
 ) -> NormalEquations:
     """Dispatch to the fastest correct path for this level size.
 
     gradient_at='source' (the reference analytic kernel's convention) is only
-    available in the reference-shaped XLA path.
+    available in the reference-shaped XLA path; 'warped' and 'esm' (with
+    source_grads) run the fused kernel on TPU.
     """
     H, W = source_intensity.shape
-    if gradient_at != "warped":
+    if gradient_at not in ("warped", "esm"):
         r, J, valid = photometric_residual_jacobian(
             source_intensity, source_depth, target_intensity,
             target_grad_x, target_grad_y, state, intr,
@@ -983,13 +1012,26 @@ def fused_normal_equations(
             sampling=sampling, gradient_at=gradient_at,
         )
         return normal_equations(r, J, valid, robust_loss, robust_delta)
+    sg = source_grads if gradient_at == "esm" else None
+    if gradient_at == "esm" and sg is None:
+        raise ValueError("gradient_at='esm' needs source_grads=(gx0, gy0)")
     if _HAS_PALLAS and H <= FUSED_MAX_H and jax.default_backend() == "tpu":
         tgt = pack_target_colmajor(target_intensity, target_grad_x, target_grad_y)
         return fused_normal_equations_pallas(
             source_intensity, source_depth, tgt, state, intr,
             min_depth, max_depth, sampling,
             robust_loss=robust_loss, robust_delta=robust_delta,
+            source_grads=sg,
         )
+    if gradient_at == "esm":
+        r, J, valid = photometric_residual_jacobian(
+            source_intensity, source_depth, target_intensity,
+            target_grad_x, target_grad_y, state, intr,
+            min_depth=min_depth, max_depth=max_depth,
+            sampling=sampling, gradient_at="esm",
+            source_grad_x=sg[0], source_grad_y=sg[1],
+        )
+        return normal_equations(r, J, valid, robust_loss, robust_delta)
     packed = pack_target(target_intensity, target_grad_x, target_grad_y)
     return packed_normal_equations(
         source_intensity, source_depth, packed, state, intr,

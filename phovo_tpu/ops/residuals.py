@@ -131,6 +131,8 @@ def photometric_residual_jacobian(
     sampling: str = "nearest",
     gradient_at: str = "warped",
     row_offset=0.0,
+    source_grad_x: jax.Array | None = None,
+    source_grad_y: jax.Array | None = None,
 ):
     """Photometric residual field + analytic Jacobian rows.
 
@@ -141,7 +143,12 @@ def photometric_residual_jacobian(
     gradient_at: 'warped' samples the target gradient at the warped
         coordinates (consistent linearization); 'source' reads it at the
         source pixel index like the reference analytic kernel
-        (…Analytic.h:346-347).
+        (…Analytic.h:346-347); 'esm' averages the warped target gradient
+        with the SOURCE gradient at the source pixel (Efficient Second-order
+        Minimization, Benhimane & Malis 2004 — second-order convergence from
+        first derivatives only; no reference analog). 'esm' requires
+        source_grad_x/source_grad_y (Scharr of the source intensity, same
+        per-level scaling as the target gradients).
     """
     col, row, _, J_pix, valid_src = warp_and_jacobian(
         source_depth, state, intr, min_depth, max_depth, row_offset
@@ -151,6 +158,13 @@ def photometric_residual_jacobian(
     if gradient_at == "warped":
         gx, _ = sample(target_grad_x, col, row)
         gy, _ = sample(target_grad_y, col, row)
+    elif gradient_at == "esm":
+        if source_grad_x is None or source_grad_y is None:
+            raise ValueError("gradient_at='esm' needs source_grad_x/y")
+        gx1, _ = sample(target_grad_x, col, row)
+        gy1, _ = sample(target_grad_y, col, row)
+        gx = 0.5 * (gx1 + source_grad_x)
+        gy = 0.5 * (gy1 + source_grad_y)
     else:
         gx, gy = target_grad_x, target_grad_y
     valid = valid_src & inb

@@ -78,7 +78,12 @@ class PhovoConfig:
     num_threads: int = 1
     num_linear_solver_threads: int = 1
     progress_to_stdout: bool = False
-    # Kernel options (no reference analog; see ops/residuals.py docstring)
+    # Kernel options (no reference analog; see ops/residuals.py docstring):
+    # gradient_at 'warped' (consistent linearization, default) | 'source'
+    # (the reference analytic kernel's convention) | 'esm' (Efficient
+    # Second-order Minimization: mean of warped target and source gradients,
+    # second-order convergence from first derivatives — typically converges
+    # in fewer iterations and tolerates larger initial motion)
     sampling: str = "nearest"
     gradient_at: str = "warped"
     # Robust loss (no reference analog — the reference cost is purely
@@ -131,6 +136,11 @@ class PhovoConfig:
         if self.robust_loss not in LOSSES:
             raise ValueError(
                 f"robust_loss={self.robust_loss!r}; expected one of {LOSSES}"
+            )
+        if self.gradient_at not in ("warped", "source", "esm"):
+            raise ValueError(
+                f"gradient_at={self.gradient_at!r}; expected 'warped', "
+                "'source' or 'esm'"
             )
         if self.mix_mode not in ("f32", "bf16x2g", "bf16x2", "bf16"):
             raise ValueError(
