@@ -81,14 +81,24 @@ def align_autodiff(
                 robust_delta=config.robust_delta,
             )
         elif fused_ok and H <= fused_ops.FUSED_MAX_H and config.max_iterations[level] > 0:
+            # whole trust-region level (all LM iterations, radius logic and
+            # solves) in one kernel call — one pallas launch per LEVEL like
+            # the analytic backend's fused_gn_level
+            from phovo_tpu.solvers.trust_region import TRLevelResult
+
             tgt = fused_ops.pack_target_colmajor(int1[level], gx1[level], gy1[level])
-            linearize = fused_ops.make_fused_linearizer(
-                int0[level], dep0[level], tgt, intr_l,
-                config.min_depth, config.max_depth, sampling="bilinear",
+            st, its, cost, gnorm, radius, nvalid = fused_ops.fused_tr_level(
+                int0[level], dep0[level], tgt, intr_l, state,
+                config.min_depth, config.max_depth,
+                config.trust_region_options(level),
+                sampling="bilinear",
                 mix_mode=config.mix_mode,
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
             )
+            state = st
+            diags[level] = TRLevelResult(st, its, cost, gnorm, radius, nvalid)
+            continue
         else:
             tgt = fused_ops.pack_target(int1[level], gx1[level], gy1[level])
 

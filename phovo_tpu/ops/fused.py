@@ -653,6 +653,44 @@ def _fused_kernel(
     out_ref[:] = gram
 
 
+def _chol_solve6(A, b):
+    """Solve the 6x6 SPD system A x = b with unrolled SCALAR Cholesky.
+
+    A is [[scalar]*6]*6, b [scalar]*6; returns [scalar]*6. rsqrt pivots with
+    cached reciprocals: the scalar unit's sqrt/div are multi-cycle, and at
+    the coarse levels (50 iterations of a 1200-pixel image) the solve is a
+    visible slice of the iteration — one rsqrt per pivot, reciprocals reused
+    by both substitution sweeps."""
+    L = [[None] * 6 for _ in range(6)]
+    inv_diag = [None] * 6
+    for i in range(6):
+        acc = A[i][i]
+        for k in range(i):
+            acc = acc - L[i][k] * L[i][k]
+        acc = jnp.maximum(acc, 1e-30)
+        inv_d = jax.lax.rsqrt(acc)
+        L[i][i] = acc * inv_d  # sqrt(acc)
+        inv_diag[i] = inv_d
+        for j in range(i + 1, 6):
+            acc = A[j][i]
+            for k in range(i):
+                acc = acc - L[j][k] * L[i][k]
+            L[j][i] = acc * inv_d
+    ys = [None] * 6
+    for i in range(6):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - L[i][k] * ys[k]
+        ys[i] = acc * inv_diag[i]
+    xs = [None] * 6
+    for i in range(5, -1, -1):
+        acc = ys[i]
+        for k in range(i + 1, 6):
+            acc = acc - L[k][i] * xs[k]
+        xs[i] = acc * inv_diag[i]
+    return xs
+
+
 def _run_gn_loop(
     linearize, state_ref, state_out_ref, diag_out_ref,
     max_iterations, min_gradient_norm, lambda_step, bi,
@@ -681,38 +719,7 @@ def _run_gn_loop(
             b = [gram[i, 6] for i in range(6)]
             cost = gram[6, 6]
         nvalid = gram[7, 7]
-        # scalar Cholesky with rsqrt and cached reciprocals: the scalar
-        # unit's sqrt/div are multi-cycle, and at the coarse levels (50
-        # iterations of a 1200-pixel image) the solve is a visible slice of
-        # the iteration — one rsqrt per pivot, reciprocals reused by both
-        # substitution sweeps
-        L = [[None] * 6 for _ in range(6)]
-        inv_diag = [None] * 6
-        for i in range(6):
-            acc = A[i][i]
-            for k in range(i):
-                acc = acc - L[i][k] * L[i][k]
-            acc = jnp.maximum(acc, 1e-30)
-            inv_d = jax.lax.rsqrt(acc)
-            L[i][i] = acc * inv_d  # sqrt(acc)
-            inv_diag[i] = inv_d
-            for j in range(i + 1, 6):
-                acc = A[j][i]
-                for k in range(i):
-                    acc = acc - L[j][k] * L[i][k]
-                L[j][i] = acc * inv_d
-        ys = [None] * 6
-        for i in range(6):
-            acc = b[i]
-            for k in range(i):
-                acc = acc - L[i][k] * ys[k]
-            ys[i] = acc * inv_diag[i]
-        xs = [None] * 6
-        for i in range(5, -1, -1):
-            acc = ys[i]
-            for k in range(i + 1, 6):
-                acc = acc - L[k][i] * xs[k]
-            xs[i] = acc * inv_diag[i]
+        xs = _chol_solve6(A, b)
         # non-finite guard: freeze instead of diverging
         finite = jnp.isfinite(xs[0])
         for k in range(1, 6):
@@ -739,6 +746,205 @@ def _run_gn_loop(
     diag_out_ref[0, 3] = final[9]
     for k in range(4, 8):
         diag_out_ref[0, k] = jnp.float32(0.0)
+
+
+def _run_tr_loop(
+    linearize, state_ref, state_out_ref, diag_out_ref, opts,
+):
+    """In-kernel trust-region Levenberg-Marquardt driver — the whole Ceres
+    per-level loop (solvers/trust_region.py semantics: LM step on the normal
+    equations with JtJ-diagonal Jacobi scaling, Ceres radius-update rule,
+    function/gradient/parameter/radius termination) as one lax.while_loop
+    inside the kernel, so a level costs ONE pallas call instead of one per
+    LM iteration. opts is a solvers.trust_region.TROptions (static floats —
+    the kernel specializes per level like the GN kernel's schedule).
+
+    Carry: 6 state scalars, last-ACCEPTED (8, 8) Gram, radius, iteration
+    count, done flag. All LM bookkeeping is scalar-unit work.
+    """
+
+    def cond(carry):
+        it, done = carry[8], carry[9]
+        return (it < opts.max_iterations) & jnp.logical_not(done)
+
+    def body(carry):
+        s = carry[:6]
+        gram = carry[6]
+        radius = carry[7]
+        A = [[gram[i, j] for j in range(6)] for i in range(6)]
+        b = [gram[i, 6] for i in range(6)]
+        cost = 0.5 * gram[6, 6]
+        diag = [
+            jnp.clip(A[i][i], 1e-12, 1e32) for i in range(6)
+        ]
+        inv_radius = 1.0 / radius
+        A_lm = [
+            [
+                A[i][j] + (diag[i] * inv_radius if i == j else 0.0)
+                for j in range(6)
+            ]
+            for i in range(6)
+        ]
+        step = _chol_solve6(A_lm, [-bi_ for bi_ in b])
+        finite = jnp.isfinite(step[0])
+        for k in range(1, 6):
+            finite = finite & jnp.isfinite(step[k])
+        step = [jnp.where(finite, st, 0.0) for st in step]
+
+        new_s = tuple(s[k] + step[k] for k in range(6))
+        new_gram = linearize(*new_s)
+        new_cost = 0.5 * new_gram[6, 6]
+
+        # rho = actual / predicted decrease for the LM step
+        sb = sum(step[i] * b[i] for i in range(6))
+        sAs = sum(
+            step[i] * A[i][j] * step[j] for i in range(6) for j in range(6)
+        )
+        predicted = jnp.maximum(-sb - 0.5 * sAs, 1e-30)
+        rho = (cost - new_cost) / predicted
+
+        accept = rho > opts.min_relative_decrease
+        grow = radius / jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        new_radius = jnp.where(
+            accept,
+            jnp.minimum(grow, opts.max_trust_region_radius),
+            radius * 0.5,
+        )
+
+        s_n = tuple(jnp.where(accept, new_s[k], s[k]) for k in range(6))
+        gram_n = jnp.where(accept, new_gram, gram)
+
+        gnorm_n = jnp.max(jnp.abs(gram_n[:6, 6]))
+        f_done = accept & (
+            jnp.abs(cost - new_cost) <= opts.function_tolerance * cost
+        )
+        g_done = gnorm_n <= opts.gradient_tolerance
+        snorm = jnp.sqrt(sum(step[k] * step[k] for k in range(6)))
+        xnorm = jnp.sqrt(sum(s[k] * s[k] for k in range(6)))
+        p_done = accept & (
+            snorm
+            <= opts.parameter_tolerance
+            * (xnorm + opts.parameter_tolerance)
+        )
+        r_done = new_radius < opts.min_trust_region_radius
+        done = f_done | g_done | p_done | r_done
+        return s_n + (gram_n, new_radius, carry[8] + 1.0, done)
+
+    s0 = tuple(state_ref[0, k] for k in range(6))
+    gram0 = linearize(*s0)
+    done0 = jnp.max(jnp.abs(gram0[:6, 6])) <= opts.gradient_tolerance
+    init = s0 + (
+        gram0,
+        jnp.float32(opts.initial_trust_region_radius),
+        jnp.float32(0.0),
+        done0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    for k in range(6):
+        state_out_ref[0, k] = final[k]
+    state_out_ref[0, 6] = jnp.float32(0.0)
+    state_out_ref[0, 7] = jnp.float32(0.0)
+    gram_f = final[6]
+    diag_out_ref[0, 0] = final[8]  # iterations
+    diag_out_ref[0, 1] = jnp.max(jnp.abs(gram_f[:6, 6]))  # gnorm (max-norm)
+    diag_out_ref[0, 2] = 0.5 * gram_f[6, 6]  # accepted cost (Ceres 0.5x)
+    diag_out_ref[0, 3] = gram_f[7, 7]  # num_valid
+    diag_out_ref[0, 4] = final[7]  # final radius
+    for k in range(5, 8):
+        diag_out_ref[0, k] = jnp.float32(0.0)
+
+
+def _fused_tr_kernel(
+    state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
+    state_out_ref, diag_out_ref,
+    *, H, W, NT, NP, bilinear, opts, mix_mode="f32",
+    robust_loss="none", robust_delta=0.1, esm=False,
+):
+    """An ENTIRE trust-region LM level (the reference Ceres backend's
+    per-level solve, CPhotoconsistencyOdometryCeres.h:433-500) in one
+    kernel invocation."""
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+
+    def linearize(s0, s1, s2, s3, s4, s5):
+        return _linearize_gram(
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+            i0_ref, geom_ref, t_all_ref,
+            H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+            robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
+        )
+
+    _run_tr_loop(linearize, state_ref, state_out_ref, diag_out_ref, opts)
+
+
+def fused_tr_level(
+    source_intensity, source_depth, tgt_cols, intr,
+    init_state,
+    min_depth, max_depth,
+    opts,
+    sampling: str = "bilinear", interpret: bool = False,
+    mix_mode: str = "f32",
+    robust_loss: str = "none", robust_delta: float = 0.1,
+    source_grads=None,
+):
+    """Run a whole trust-region LM pyramid level as ONE pallas call.
+
+    opts: solvers.trust_region.TROptions (static — baked into the kernel).
+    Returns (state (6,), iterations, cost, gradient_norm, radius, num_valid)
+    matching solvers.trust_region.TRLevelResult field order.
+    """
+    H, W = source_intensity.shape
+    NP, NT = _pick_tile_pixels(H, W)
+    kernel = functools.partial(
+        _fused_tr_kernel, H=H, W=W, NT=NT, NP=NP,
+        bilinear=(sampling == "bilinear"), opts=opts, mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=float(robust_delta),
+        esm=source_grads is not None,
+    )
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+    st = jnp.concatenate(
+        [jnp.asarray(init_state, jnp.float32), jnp.zeros(2, jnp.float32)]
+    ).reshape(1, 8)
+    inputs = [
+        st, const,
+        _pad_flat(source_intensity.reshape(1, H * W), NP),
+        pack_geometry(source_depth, intr, min_depth, max_depth, NP,
+                      source_grads),
+        tgt_cols,
+    ]
+    state_out, diag = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(inputs) - 2),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return (
+        state_out[0, :6],
+        diag[0, 0].astype(jnp.int32),
+        diag[0, 2],
+        diag[0, 1],
+        diag[0, 4],
+        diag[0, 3],
+    )
 
 
 def _fused_gn_kernel(

@@ -264,3 +264,45 @@ def test_pallas_kernel_above_old_cap(intr):
         I0, D0, tgt, STATE, intr_big, 0.3, 5.0, "nearest", interpret=True
     )
     _assert_close(ne, ne_ref)
+
+
+def test_fused_tr_level_matches_xla_trust_region(intr, small_pair):
+    """The whole-level in-kernel trust-region LM (interpret mode) follows the
+    XLA trust_region_level driving the same linearization: same accepted
+    state, iteration count, cost and radius trajectory endpoint."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.solvers.trust_region import TROptions, trust_region_level
+
+    (I0, D0, I1, gx, gy), _ = _case(small_pair, intr, "bilinear")
+    opts = TROptions(
+        max_iterations=8, function_tolerance=1e-7, gradient_tolerance=1e-12,
+        parameter_tolerance=1e-10, initial_trust_region_radius=1e4,
+        max_trust_region_radius=1e16, min_trust_region_radius=1e-32,
+        min_relative_decrease=1e-3,
+    )
+    init = jnp.zeros(6, jnp.float32)
+
+    def linearize(s):
+        packed = F.pack_target(I1, gx, gy)
+        return F.packed_normal_equations(
+            I0, D0, packed, s, intr, 0.3, 5.0, "bilinear"
+        )
+
+    ref = trust_region_level(linearize, init, opts)
+    tgt = F.pack_target_colmajor(I1, gx, gy)
+    st, its, cost, gnorm, radius, nvalid = F.fused_tr_level(
+        I0, D0, tgt, intr, init, 0.3, 5.0, opts,
+        sampling="bilinear", interpret=True, mix_mode="f32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(st), np.asarray(ref.state), atol=5e-4
+    )
+    assert int(its) == int(ref.iterations), (int(its), int(ref.iterations))
+    # the kernel's banded row window may mask a handful of pixels at the
+    # band boundary (documented divergence), shifting cost/radius slightly
+    np.testing.assert_allclose(float(cost), float(ref.cost), rtol=2e-2)
+    np.testing.assert_allclose(float(radius), float(ref.radius), rtol=0.2)
+    assert abs(float(nvalid) - float(ref.num_valid)) <= max(
+        1.0, 0.01 * float(ref.num_valid)
+    )
