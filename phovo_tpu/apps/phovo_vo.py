@@ -386,6 +386,17 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         try:
             for Ii, Dd, ts in stream:
                 t0 = _time.perf_counter()
+                m = len(Ii)
+                if m < args.chunk:
+                    # pad the short trailing chunk by repeating its last
+                    # frame: the padded batch reuses the already-compiled
+                    # chunk-size program (a second compile for the odd size
+                    # costs ~15 s — more than aligning the whole chunk);
+                    # the padding pairs align identical frames and their
+                    # states are discarded below
+                    reps = args.chunk - m
+                    Ii = np_.concatenate([Ii, np_.repeat(Ii[-1:], reps, 0)])
+                    Dd = np_.concatenate([Dd, np_.repeat(Dd[-1:], reps, 0)])
                 res, carry_i, carry_d = chunk_fn(
                     carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
                     intr, cfg, True, args.warm_start,
@@ -397,7 +408,7 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                     if integrate(np_.asarray(p_states), p_ts, out,
                                  t0 - p_t0):
                         break
-                pending = (res.state, ts, t0)
+                pending = (res.state[:m], ts, t0)
         finally:
             # flush the chunk already aligned even if a later chunk's IO or
             # dispatch raises — the trajectory stays truncated, not holey

@@ -101,14 +101,20 @@ class KeyframeVisualOdometry:
     # -- alignment helpers ---------------------------------------------------
 
     @staticmethod
-    def _finest_stats(res) -> tuple[float, float]:
-        """(cost, num_valid) at the finest pyramid level that actually ran
-        (diagnostics are stacked per level, index 0 = full resolution; skipped
-        levels report zeros)."""
+    def _finest_stats(res) -> tuple[float, float, int]:
+        """(cost, num_valid, level) at the finest pyramid level that actually
+        ran (diagnostics are stacked per level, index 0 = full resolution;
+        skipped levels report zeros). The level matters: num_valid counts
+        pixels AT THAT LEVEL (N/4^level of the full frame), so any fraction
+        computed against the full-resolution pixel count must rescale."""
         iters = np.asarray(res.iterations)
         ran = np.nonzero(iters > 0)[0]
         lvl = int(ran[0]) if len(ran) else 0
-        return float(np.asarray(res.cost)[lvl]), float(np.asarray(res.num_valid)[lvl])
+        return (
+            float(np.asarray(res.cost)[lvl]),
+            float(np.asarray(res.num_valid)[lvl]),
+            lvl,
+        )
 
     def _align(self, src_i, src_d, tgt_i, tgt_d, init_state=None):
         self.odometry.set_source_frame(src_i, src_d)
@@ -138,7 +144,7 @@ class KeyframeVisualOdometry:
                 kf.intensity, kf.depth, fr.intensity, fr.depth, last_rel_state
             )
             state = np.asarray(res.state)
-            _, nvalid = self._finest_stats(res)
+            _, nvalid, lvl = self._finest_stats(res)
             Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
             rel = np.linalg.inv(Rt)  # kf -> frame camera motion in world terms
             pose = kf.pose @ rel
@@ -156,7 +162,13 @@ class KeyframeVisualOdometry:
 
             trans = float(np.linalg.norm(state[:3]))
             rot = float(np.linalg.norm(state[3:]))
-            overlap = nvalid / float(npix)
+            # num_valid counts pixels at the finest level that RAN — with
+            # level-skipping presets (e.g. the 5-level schedule's
+            # [0,0,5,20,50]) that is N/4^level pixels, so the overlap
+            # fraction must be taken against the same level's pixel count
+            # (against the full frame it would read ~6% and promote a
+            # keyframe EVERY frame)
+            overlap = nvalid / (float(npix) / 4.0**lvl)
             if (
                 trans > self.kf_translation
                 or rot > self.kf_rotation
@@ -200,8 +212,8 @@ class KeyframeVisualOdometry:
             res = self._align(
                 old.intensity, old.depth, new_kf.intensity, new_kf.depth, init
             )
-            cost, nvalid = self._finest_stats(res)
-            npix = new_kf.intensity.size
+            cost, nvalid, lvl = self._finest_stats(res)
+            npix = new_kf.intensity.size / 4.0**lvl  # pixels at that level
             mean_res = np.sqrt(cost / max(nvalid, 1.0))
             if (
                 nvalid / npix < self.loop_min_valid_fraction

@@ -181,9 +181,13 @@ def _schur_step(states, points, blocks, damping, fixed_first):
     M = U.shape[0]
     hp = jax.lax.Precision.HIGHEST
 
-    # damped landmark blocks; unobserved landmarks get the identity floor,
-    # making their update exactly zero
-    Vd = V + damping * jnp.eye(3, dtype=V.dtype) + (
+    # damped landmark blocks — MULTIPLICATIVE (Levenberg-Marquardt) damping:
+    # the blocks mix meter/radian/pixel^2 scales, so an absolute ridge is
+    # either negligible or crushing depending on units; scaling the diagonal
+    # is unit-free. Unobserved landmarks get the identity floor, making
+    # their update exactly zero.
+    Vdiag = V * jnp.eye(3, dtype=V.dtype)  # diagonal part of each block
+    Vd = V + damping * Vdiag + (
         (jnp.abs(V).sum((-1, -2), keepdims=True) == 0).astype(V.dtype)
         * jnp.eye(3, dtype=V.dtype)
     )
@@ -201,7 +205,11 @@ def _schur_step(states, points, blocks, damping, fixed_first):
         mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (M - 1))])
         Sd = Sd * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
         gd = gd * mask
-    Sd = Sd + damping * jnp.eye(6 * M, dtype=Sd.dtype)
+    # multiplicative LM ridge on the PRE-elimination camera diagonal
+    # (damping * diag(U), matching the dense-system ridge the elimination
+    # must stay exact against) + tiny absolute floor for zero diagonals
+    U_diag = jnp.diagonal(U, axis1=-2, axis2=-1).reshape(6 * M)  # (i*6+a)
+    Sd = Sd + jnp.diag(damping * U_diag + 1e-10)
     # Jacobi preconditioning: the reduced camera system mixes meter and
     # radian columns against pixel residuals and reaches cond ~1e12 raw,
     # which an f32 solve cannot handle; symmetric diagonal rescaling brings
@@ -218,6 +226,55 @@ def _schur_step(states, points, blocks, damping, fixed_first):
     dx_pose = jnp.where(finite, dx_pose, 0.0)
     dx_point = jnp.where(finite, dx_point, 0.0)
     return states - dx_pose, points - dx_point, cost
+
+
+def _lm_iterate(build, states0, points0, iterations, damping, fixed_first):
+    """Monotone Levenberg-Marquardt driver over _schur_step.
+
+    Plain Gauss-Newton on a near-degenerate window (e.g. co-planar landmarks
+    with short baselines — common in keyframe VO) can take an unbounded step
+    along a near-null direction and corrupt a perfectly good initialization.
+    This driver linearizes the current iterate, ACCEPTS it only if its cost
+    is no worse than the best seen (first iterate always accepts), steps
+    with a multiplicative ridge `lam` that shrinks on acceptance (floored at
+    `damping`) and grows 8x on rejection, and on rejection restarts the next
+    iteration from the best iterate. Returns (best_states, best_points,
+    best_cost) — cost is guaranteed non-increasing."""
+
+    def gn_step(carry, _):
+        cur_s, cur_p, best_s, best_p, best_cost, lam = carry
+        blocks = build(cur_s, cur_p)
+        cost = blocks[-1]
+        ok = cost <= best_cost * (1.0 + 1e-6)
+        best_s2 = jnp.where(ok, cur_s, best_s)
+        best_p2 = jnp.where(ok, cur_p, best_p)
+        best_cost2 = jnp.minimum(cost, best_cost)
+        lam2 = jnp.where(
+            ok,
+            jnp.maximum(lam * 0.5, damping),
+            jnp.minimum(lam * 8.0, 1e3),
+        )
+        st_s, st_p, _ = _schur_step(cur_s, cur_p, blocks, lam2, fixed_first)
+        nxt_s = jnp.where(ok, st_s, best_s2)
+        nxt_p = jnp.where(ok, st_p, best_p2)
+        return (nxt_s, nxt_p, best_s2, best_p2, best_cost2, lam2), cost
+
+    init = (
+        states0, points0, states0, points0,
+        jnp.float32(jnp.inf), jnp.float32(damping),
+    )
+    (cur_s, cur_p, bs, bp, bc, _), _ = jax.lax.scan(
+        gn_step, init, None, length=iterations
+    )
+    # the final step was produced but never evaluated: one extra
+    # linearization decides between it and the best accepted iterate
+    final_cost = build(cur_s, cur_p)[-1]
+    ok = final_cost <= bc
+    return (
+        jnp.where(ok, cur_s, bs),
+        jnp.where(ok, cur_p, bp),
+        jnp.minimum(final_cost, bc),
+    )
 
 
 def optimize_bundle(
@@ -281,18 +338,10 @@ def optimize_bundle(
                 problem.z_weights, intr, M, Pn, robust_delta=robust_delta,
             )
 
-    def gn_step(carry, _):
-        states, points = carry
-        blocks = build(states, points)
-        states, points, cost = _schur_step(
-            states, points, blocks, damping, fixed_first
-        )
-        return (states, points), cost
-
-    (states, points), costs = jax.lax.scan(
-        gn_step, (problem.pose_states, problem.points), None, length=iterations
+    return _lm_iterate(
+        build, problem.pose_states, problem.points, iterations, damping,
+        fixed_first,
     )
-    return states, points, costs[-1]
 
 
 def dense_gn_step(problem: BAProblem, intr: Intrinsics,
@@ -328,11 +377,12 @@ def dense_gn_step(problem: BAProblem, intr: Intrinsics,
         mask = np.concatenate([np.zeros(6), np.ones(D - 6)])
         H = H * mask[:, None] * mask[None, :] + np.diag(1.0 - mask)
         g = g * mask
-    H = H + damping * np.eye(D)
+    # multiplicative LM ridge + absolute floor, mirroring _schur_step
+    H = H + np.diag(damping * np.diag(H) + 1e-10)
     # identity floor on unobserved landmark blocks, as in the Schur path
     for p in range(Pn):
         blk = slice(6 * M + 3 * p, 6 * M + 3 * p + 3)
-        if np.abs(H[blk, blk]).sum() < damping * 3 * 1.5:
+        if np.abs(H[blk, blk]).sum() < 1e-8:
             H[blk, blk] += np.eye(3)
     dx = np.linalg.solve(H, g)
     states = problem.pose_states - jnp.asarray(

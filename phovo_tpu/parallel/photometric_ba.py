@@ -244,19 +244,12 @@ def optimize_photometric_bundle(
                 intr, M, Pn, robust_delta=robust_delta,
             )
 
-    def gn_step(carry, _):
-        states, points = carry
-        blocks = build(states, points)
-        states, points, cost = _schur_step(
-            states, points, blocks, damping, fixed_first
-        )
-        return (states, points), cost
+    from phovo_tpu.parallel.bundle_adjustment import _lm_iterate
 
-    (states, points), costs = jax.lax.scan(
-        gn_step, (problem.pose_states, problem.points), None,
-        length=iterations,
+    return _lm_iterate(
+        build, problem.pose_states, problem.points, iterations, damping,
+        fixed_first,
     )
-    return states, points, costs[-1]
 
 
 # -- front-end ----------------------------------------------------------------

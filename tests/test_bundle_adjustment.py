@@ -43,7 +43,12 @@ def test_project_point_matches_warp_convention():
 
 
 def test_schur_step_matches_dense_solve():
-    """One Schur-reduced GN step equals the full (6M+3P) dense solve."""
+    """One Schur-reduced LM step equals the full (6M+3P) dense solve.
+
+    optimize_bundle's returned cost is the POST-step evaluated cost (the
+    monotone LM driver's guarantee), while the dense oracle reports the
+    pre-step cost — so cost is checked for improvement, states for
+    equality."""
     problem, _, _ = make_synthetic_ba(
         n_poses=4, n_points=12, state_noise=0.03, point_noise=0.05, seed=1
     )
@@ -51,7 +56,7 @@ def test_schur_step_matches_dense_solve():
     s_s, p_s, cost_s = optimize_bundle(
         problem, TUM_DEFAULT, iterations=1, damping=1e-6
     )
-    np.testing.assert_allclose(float(cost_s), float(cost_d), rtol=1e-6)
+    assert float(cost_s) < float(cost_d)
     np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_d), atol=2e-4)
     np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_d), atol=2e-4)
 

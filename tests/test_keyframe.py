@@ -216,3 +216,29 @@ def test_loop_closure_consistency_gate(loop_sequence):
     kvo._align = lambda *a, **k: BogusResult()  # perfect-looking, wrong pose
     kvo._try_loop_closure(kvo.keyframes[-1])
     assert len(kvo.loop_closures) == n_before  # all bogus edges rejected
+
+
+def test_level_skipping_config_does_not_promote_every_frame(loop_sequence):
+    """Regression: with a level-skipping schedule (the shipped presets run
+    no iterations at level 0), num_valid counts pixels at the finest level
+    that RAN; the keyframe overlap fraction must be taken against that
+    level's pixel count, not the full frame's — otherwise overlap reads
+    ~1/4^level and EVERY frame is promoted to a keyframe."""
+    frames, _ = loop_sequence
+    cfg = PhovoConfig(
+        num_levels=2,
+        blur_filter_sizes=(0, 0),
+        gradient_scales=(0.0625, 0.0625),
+        max_iterations=(0, 12),  # level 0 skipped, like the shipped presets
+        lambda_steps=(1.0, 1.0),
+        min_gradient_norms=(1e-10, 1e-10),
+        sampling="bilinear",
+    )
+    vo = PhotoconsistencyOdometryAnalytic(cfg)
+    vo.set_intrinsic_matrix(np.asarray(INTR.matrix()))
+    kvo = KeyframeVisualOdometry(
+        vo, kf_translation=0.15, kf_rotation=0.2, loop_min_gap=3
+    )
+    list(kvo.run(frames))
+    # the sequence moves ~0.06/frame at peak: nothing near every-frame
+    assert len(kvo.keyframes) < len(frames) / 2, len(kvo.keyframes)

@@ -159,3 +159,36 @@ def test_gauge_anchor_fixed():
     np.testing.assert_allclose(
         np.asarray(states[0]), np.asarray(problem.pose_states[0]), atol=1e-7
     )
+
+
+def test_ba_preserves_exact_poses_hard_window():
+    """Regression: the LM driver must be monotone. On THIS window (8
+    keyframes with rotation on all three axes — near-degenerate: co-planar
+    landmarks, short baselines) plain GN took an unbounded step along a
+    near-null direction from an EXACT ground-truth start and produced
+    meter-scale errors; the accept/reject driver must keep it stationary."""
+    M = 8
+    gt = np.stack([
+        np.asarray(
+            se3.matrix_to_state(
+                jnp.asarray(
+                    np.linalg.inv(
+                        np.asarray(
+                            se3.pose_matrix(
+                                np.array([0.12 * k, -0.08 * k, 0.06 * k,
+                                          0.05 * k, -0.03 * k, 0.04 * k])
+                            )
+                        )
+                    )
+                )
+            )
+        )
+        for k in range(M)
+    ]).astype(np.float32)
+    I, D = _render_window(gt)
+    pb = build_photometric_window(I, D, gt.copy(), INTR, grid=8)
+    refined, _, _ = optimize_photometric_bundle(
+        pb, INTR, mesh=None, iterations=6, damping=1e-4, fixed_first=True
+    )
+    err = float(np.abs(np.asarray(refined) - gt).max())
+    assert err < 1e-3, err

@@ -1,0 +1,83 @@
+"""Full-system device drive: synthetic TUM dataset -> phovo-vo CLI on TPU."""
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from phovo_tpu.ops import se3
+from phovo_tpu.ops.camera import TUM_FR1
+from phovo_tpu.utils.synthetic import render_plane
+from phovo_tpu.utils.trajectory import format_pose_line
+
+ROOT = Path("/tmp/phovo_e2e_seq")
+N = 120
+SHAPE = (480, 640)
+
+
+def build_dataset():
+    if (ROOT / "rgb.txt").exists():
+        return
+    (ROOT / "rgb").mkdir(parents=True, exist_ok=True)
+    (ROOT / "depth").mkdir(parents=True, exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for k in range(N):
+        state = np.array(
+            [0.012 * k, -0.008 * k, 0.006 * k, 0.005 * k, -0.003 * k, 0.004 * k],
+            dtype=np.float64,
+        )
+        T = np.asarray(se3.pose_matrix(state))
+        I, D = render_plane(TUM_FR1, SHAPE, T)
+        ts = 1000.0 + 0.05 * k
+        cv2.imwrite(str(ROOT / "rgb" / f"{ts:.6f}.png"), (I * 255).astype(np.uint8))
+        cv2.imwrite(str(ROOT / "depth" / f"{ts:.6f}.png"),
+                    np.clip(D * 5000.0, 0, 65535).astype(np.uint16))
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        depth_lines.append(f"{ts:.6f} depth/{ts:.6f}.png")
+        gt_lines.append(format_pose_line(ts, np.linalg.inv(T)))
+    (ROOT / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (ROOT / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (ROOT / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+
+
+def run(label, args):
+    t0 = time.time()
+    p = subprocess.run([sys.executable, "-m", "phovo_tpu.apps.phovo_vo",
+                        "--config",
+                        "phovo_tpu/configs/config_5_level_optimization_analytic.yml",
+                        "--dataset", str(ROOT), "--intrinsics", "fr1",
+                        "--eval-gt", str(ROOT / "groundtruth.txt"),
+                        *args],
+                       capture_output=True, text=True, cwd="/root/repo")
+    dt = time.time() - t0
+    tail = [ln for ln in p.stdout.splitlines() if "ATE" in ln or "RPE" in ln
+            or "frames" in ln.lower() or "pairs" in ln.lower()]
+    print(f"--- {label} (exit {p.returncode}, {dt:.0f}s wall) ---")
+    for ln in tail[-6:]:
+        print("   ", ln)
+    if p.returncode != 0:
+        print(p.stderr[-2000:])
+    return p.returncode
+
+
+def main():
+    build_dataset()
+    rc = 0
+    rc |= run("analytic chunk=64", [
+        "--output", "/tmp/e2e_traj_a.txt", "--chunk", "64"])
+    rc |= run("ic backend chunk=64", [
+        "--output", "/tmp/e2e_traj_ic.txt", "--backend", "ic", "--chunk", "64"])
+    rc |= run("ceres backend", [
+        "--output", "/tmp/e2e_traj_c.txt", "--backend", "ceres"])
+    rc |= run("keyframe + pose graph + photometric BA", [
+        "--output", "/tmp/e2e_traj_kf.txt", "--mode", "keyframe",
+        "--ba-iterations", "3"])
+    print("ALL OK" if rc == 0 else "FAILURES")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
