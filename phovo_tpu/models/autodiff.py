@@ -48,6 +48,12 @@ def align_autodiff(
     jacobian_mode: str = "linearizer",
 ) -> AlignmentResult:
     del target_depth
+    # u8 inputs convert on device (reference SetSourceFrame's 1/255):
+    # host-side conversion would quadruple the host->device transfer
+    if source_intensity.dtype == jnp.uint8:
+        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    if target_intensity.dtype == jnp.uint8:
+        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     int0 = pyr.build_pyramid(source_intensity, L, blur)

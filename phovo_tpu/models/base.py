@@ -46,15 +46,17 @@ class AlignmentResult(NamedTuple):
 
 
 def as_float_intensity(img) -> np.ndarray:
-    """u8 -> float32 * 1/255 (reference SetSourceFrame conversion,
-    …Analytic.h:470-471); float inputs pass through as float32.
-
-    Host-side numpy on purpose: eager per-op device dispatches are very
-    expensive on remote-attached chips; the jitted align call does the
-    single host->device transfer."""
+    """Normalize intensity input for the aligners: uint8 passes through
+    UNCHANGED (every backend converts u8 -> f32 * 1/255 on device — the
+    reference SetSourceFrame conversion, …Analytic.h:470-471 — so the
+    host->device transfer stays at storage size, 4x smaller than f32);
+    other integer dtypes convert host-side; floats become float32. Device
+    arrays pass through untouched (no eager dispatch)."""
     if isinstance(img, jax.Array):
-        return img.astype(jnp.float32)  # already on device; leave it there
+        return img
     arr = np.asarray(img)
+    if arr.dtype == np.uint8:
+        return arr
     if np.issubdtype(arr.dtype, np.integer):
         return arr.astype(np.float32) * np.float32(1.0 / 255.0)
     return arr.astype(np.float32)

@@ -51,6 +51,12 @@ def align_biobjective(
             "gradient_at='esm' is photometric-only; the bi-objective "
             "backend supports 'warped' and 'source'"
         )
+    # u8 inputs convert on device (reference SetSourceFrame's 1/255):
+    # host-side conversion would quadruple the host->device transfer
+    if source_intensity.dtype == jnp.uint8:
+        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    if target_intensity.dtype == jnp.uint8:
+        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     scales = tuple(config.gradient_scales)

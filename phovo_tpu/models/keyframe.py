@@ -43,6 +43,18 @@ class Keyframe:
     intensity: np.ndarray
     depth: np.ndarray
     pose: np.ndarray  # (4, 4) world <- keyframe (current estimate)
+    # device-resident copies (storage dtype): every frame tracks against the
+    # CURRENT keyframe, so uploading it once at promotion instead of per
+    # tracked frame removes the dominant host->device transfer on
+    # remote-attached chips
+    dev_intensity: object = None
+    dev_depth: object = None
+
+    def __post_init__(self):
+        if self.dev_intensity is None:
+            self.dev_intensity = jnp.asarray(self.intensity)
+        if self.dev_depth is None:
+            self.dev_depth = jnp.asarray(self.depth, jnp.float32)
 
 
 @dataclasses.dataclass
@@ -122,7 +134,12 @@ class KeyframeVisualOdometry:
         self.odometry.set_initial_state_vector(
             np.zeros(6, np.float32) if init_state is None else init_state
         )
-        return self.odometry.optimize()
+        import jax
+
+        # ONE batched device->host gather for all diagnostic fields: the
+        # per-field np.asarray calls downstream would each pay a full
+        # round trip on a remote-attached chip
+        return jax.device_get(self.odometry.optimize())
 
     # -- main loop -----------------------------------------------------------
 
@@ -141,7 +158,8 @@ class KeyframeVisualOdometry:
             frame_index += 1
             kf = self.keyframes[-1]
             res = self._align(
-                kf.intensity, kf.depth, fr.intensity, fr.depth, last_rel_state
+                kf.dev_intensity, kf.dev_depth, fr.intensity, fr.depth,
+                last_rel_state,
             )
             state = np.asarray(res.state)
             _, nvalid, lvl = self._finest_stats(res)
@@ -210,7 +228,8 @@ class KeyframeVisualOdometry:
                 np.float32,
             )
             res = self._align(
-                old.intensity, old.depth, new_kf.intensity, new_kf.depth, init
+                old.dev_intensity, old.dev_depth,
+                new_kf.dev_intensity, new_kf.dev_depth, init,
             )
             cost, nvalid, lvl = self._finest_stats(res)
             npix = new_kf.intensity.size / 4.0**lvl  # pixels at that level
@@ -324,9 +343,16 @@ class KeyframeVisualOdometry:
             )
         M = len(self.keyframes)
         window = max(2, min(window, M))
-        start = 0
-        while start < M - 1:
-            stop = min(start + window, M)
+        # every window is exactly `window` keyframes (the tail window slides
+        # back to overlap more): identical shapes reuse ONE compiled BA
+        # program across windows and runs
+        starts = list(range(0, M - window + 1, window - 1))
+        if not starts:
+            starts = [0]
+        if starts[-1] + window < M:
+            starts.append(M - window)
+        for start in starts:
+            stop = start + window
             kfs = self.keyframes[start:stop]
             I = np.stack([k.intensity for k in kfs])
             if I.dtype == np.uint8:  # aligner convention: intensity in 0..1
@@ -347,5 +373,3 @@ class KeyframeVisualOdometry:
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):
                 kf.pose = np.asarray(se3.pose_matrix(refined[k]))
-            # 1-keyframe overlap: the last refined pose anchors the next window
-            start = stop - 1

@@ -296,38 +296,74 @@ def optimize_bundle(
     size and sharded; each device accumulates its {U, V, W, v, w} blocks and
     one psum per iteration merges them. The Schur-reduced camera system is
     solved replicated (6M x 6M; M = keyframe-window size)."""
-    M = problem.pose_states.shape[0]
-    Pn = problem.points.shape[0]
     K = problem.obs_pose.shape[0]
-
     if mesh is not None:
         n = 1
         for a in mesh.axis_names:
             n *= mesh.shape[a]
         pad = (-K) % n
-        op = jnp.concatenate([problem.obs_pose, -jnp.ones(pad, jnp.int32)])
-        ol = jnp.concatenate([problem.obs_point, jnp.zeros(pad, jnp.int32)])
-        uv = jnp.concatenate([problem.obs_uv, jnp.zeros((pad, 2), jnp.float32)])
-        oz = jnp.concatenate([problem.obs_z, jnp.zeros(pad, jnp.float32)])
-        w = jnp.concatenate([problem.weights, jnp.zeros(pad, jnp.float32)])
-        zw = jnp.concatenate([problem.z_weights, jnp.zeros(pad, jnp.float32)])
+        problem = problem._replace(
+            obs_pose=jnp.concatenate(
+                [problem.obs_pose, -jnp.ones(pad, jnp.int32)]
+            ),
+            obs_point=jnp.concatenate(
+                [problem.obs_point, jnp.zeros(pad, jnp.int32)]
+            ),
+            obs_uv=jnp.concatenate(
+                [problem.obs_uv, jnp.zeros((pad, 2), jnp.float32)]
+            ),
+            obs_z=jnp.concatenate([problem.obs_z, jnp.zeros(pad, jnp.float32)]),
+            weights=jnp.concatenate(
+                [problem.weights, jnp.zeros(pad, jnp.float32)]
+            ),
+            z_weights=jnp.concatenate(
+                [problem.z_weights, jnp.zeros(pad, jnp.float32)]
+            ),
+        )
+    return _optimize_bundle_jit(
+        problem, intr, jnp.float32(damping),
+        mesh=mesh, iterations=iterations, fixed_first=fixed_first,
+        robust_delta=robust_delta,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "iterations", "fixed_first", "robust_delta"),
+)
+def _optimize_bundle_jit(
+    problem, intr, damping, *, mesh, iterations, fixed_first, robust_delta
+):
+    """Jitted core with the problem as an ARGUMENT: closure-captured problem
+    data would be baked into the program as constants, so every distinct
+    problem would compile (and persistent-cache-miss) its own program."""
+    M = problem.pose_states.shape[0]
+    Pn = problem.points.shape[0]
+
+    if mesh is not None:
         spec = P(mesh.axis_names)
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), spec, spec, spec, spec, spec, spec),
+            in_specs=(P(), P(), P(), spec, spec, spec, spec, spec, spec),
             out_specs=(P(),) * 6,
         )
-        def accumulate(states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s):
+        def accumulate(
+            states, points, intr_r, op_s, ol_s, uv_s, oz_s, w_s, zw_s
+        ):
             blocks = _accumulate_shard(
-                states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s, intr,
+                states, points, op_s, ol_s, uv_s, oz_s, w_s, zw_s, intr_r,
                 M, Pn, tuple(mesh.axis_names), robust_delta,
             )
             return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
 
         def build(states, points):
-            return accumulate(states, points, op, ol, uv, oz, w, zw)
+            return accumulate(
+                states, points, intr, problem.obs_pose, problem.obs_point,
+                problem.obs_uv, problem.obs_z, problem.weights,
+                problem.z_weights,
+            )
 
     else:
 

@@ -198,43 +198,78 @@ def optimize_photometric_bundle(
     Returns (pose_states, points, last_cost). Images replicate across the
     mesh; observation rows shard over every mesh axis and one psum per GN
     iteration merges the normal-equation blocks."""
-    M = problem.pose_states.shape[0]
-    Pn = problem.points.shape[0]
     K = problem.obs_pose.shape[0]
-    static = problem._replace(
-        pose_states=None, points=None, obs_pose=None, obs_point=None,
-        weights=None, z_weights=None,
-    )
-
     if mesh is not None:
         n = 1
         for a in mesh.axis_names:
             n *= mesh.shape[a]
         pad = (-K) % n
-        op = jnp.concatenate([problem.obs_pose, -jnp.ones(pad, jnp.int32)])
-        ol = jnp.concatenate([problem.obs_point, jnp.zeros(pad, jnp.int32)])
-        w = jnp.concatenate([problem.weights, jnp.zeros(pad, jnp.float32)])
-        zw = jnp.concatenate([problem.z_weights, jnp.zeros(pad, jnp.float32)])
+        problem = problem._replace(
+            obs_pose=jnp.concatenate(
+                [problem.obs_pose, -jnp.ones(pad, jnp.int32)]
+            ),
+            obs_point=jnp.concatenate(
+                [problem.obs_point, jnp.zeros(pad, jnp.int32)]
+            ),
+            weights=jnp.concatenate(
+                [problem.weights, jnp.zeros(pad, jnp.float32)]
+            ),
+            z_weights=jnp.concatenate(
+                [problem.z_weights, jnp.zeros(pad, jnp.float32)]
+            ),
+        )
+    return _optimize_photometric_jit(
+        problem, intr, jnp.float32(damping),
+        mesh=mesh, iterations=iterations, fixed_first=fixed_first,
+        robust_delta=robust_delta,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "iterations", "fixed_first", "robust_delta"),
+)
+def _optimize_photometric_jit(
+    problem, intr, damping, *, mesh, iterations, fixed_first, robust_delta
+):
+    """Jitted core with the window as an ARGUMENT: a closure-captured window
+    would bake the keyframe IMAGES into the program as constants — every
+    window would then compile (~90 s at VGA) its own program and the
+    persistent cache could never hit. As arguments, all windows of one
+    (M, H, W, P, K) shape share a single cached program."""
+    M = problem.pose_states.shape[0]
+    Pn = problem.points.shape[0]
+
+    if mesh is not None:
         spec = P(mesh.axis_names)
 
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), spec, spec, spec, spec),
+            # intrinsics/images/reference intensities replicate;
+            # observations shard
+            in_specs=(P(), P(), P(), P(), P(), P(), spec, spec, spec, spec),
             out_specs=(P(),) * 6,
         )
-        def accumulate(states, points, op_s, ol_s, w_s, zw_s):
-            prob = static._replace(
-                pose_states=states, points=points, obs_pose=op_s,
+        def accumulate(
+            states, points, intr_r, imgs, deps, ref, op_s, ol_s, w_s, zw_s
+        ):
+            prob = PhotometricBAProblem(
+                pose_states=states, points=points, intensities=imgs,
+                depths=deps, ref_intensity=ref, obs_pose=op_s,
                 obs_point=ol_s, weights=w_s, z_weights=zw_s,
             )
             blocks = _accumulate(
-                prob, intr, M, Pn, tuple(mesh.axis_names), robust_delta
+                prob, intr_r, M, Pn, tuple(mesh.axis_names), robust_delta
             )
             return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
 
         def build(states, points):
-            return accumulate(states, points, op, ol, w, zw)
+            return accumulate(
+                states, points, intr, problem.intensities, problem.depths,
+                problem.ref_intensity, problem.obs_pose, problem.obs_point,
+                problem.weights, problem.z_weights,
+            )
 
     else:
 
@@ -321,36 +356,41 @@ def build_photometric_window(
     cx = float(np.asarray(intr.cx))
     cy = float(np.asarray(intr.cy))
 
-    pts, ref_i, hosts = [], [], []
+    # STATIC shapes: always grid^2 landmark slots per keyframe and a dense
+    # (landmark x (M-1)) observation table, with invalid cells marked by
+    # obs_pose = -1 padding (rows contribute exact zeros; unobserved
+    # landmarks get the identity floor in the Schur step). Data-dependent
+    # landmark counts would give every window a fresh XLA program — at
+    # ~90 s compile per shape, padding is orders of magnitude cheaper.
+    Pn = M * grid * grid
+    pts = np.zeros((Pn, 3), np.float32)
+    ref_i = np.zeros(Pn, np.float32)
+    hosts = np.zeros(Pn, np.int32)
+    valid_lm = np.zeros(Pn, bool)
+    j = 0
     for m in range(M):
         sel = select_landmark_pixels(intensities[m], depths[m], grid=grid)
         T = np.asarray(se3.pose_matrix(pose_states[m].astype(np.float64)))
         for r, c in sel:
-            if r < 0:
-                continue
-            z = float(depths[m][r, c])
-            pc = np.array([(c - cx) * z / fx, (r - cy) * z / fy, z, 1.0])
-            pw = T @ pc
-            pts.append(pw[:3])
-            ref_i.append(float(intensities[m][r, c]))
-            hosts.append(m)
-    if not pts:
+            if r >= 0:
+                z = float(depths[m][r, c])
+                pc = np.array([(c - cx) * z / fx, (r - cy) * z / fy, z, 1.0])
+                pts[j] = (T @ pc)[:3]
+                ref_i[j] = float(intensities[m][r, c])
+                valid_lm[j] = True
+            hosts[j] = m
+            j += 1
+    if not valid_lm.any():
         raise ValueError("no valid landmarks found in the window")
-    pts = np.asarray(pts, np.float32)
-    Pn = pts.shape[0]
-    hosts = np.asarray(hosts, np.int32)
 
-    # dense (landmark x keyframe) observation table minus each host frame;
-    # out-of-view rows self-gate inside the residual
-    obs_pose, obs_point = [], []
+    obs_pose = np.empty((Pn, M - 1), np.int32)
+    obs_point = np.empty((Pn, M - 1), np.int32)
     for j in range(Pn):
-        for i in range(M):
-            if i == hosts[j]:
-                continue
-            obs_pose.append(i)
-            obs_point.append(j)
-    obs_pose = np.asarray(obs_pose, np.int32)
-    obs_point = np.asarray(obs_point, np.int32)
+        others = [i for i in range(M) if i != hosts[j]]
+        obs_pose[j] = others if valid_lm[j] else [-1] * (M - 1)
+        obs_point[j] = j
+    obs_pose = obs_pose.reshape(-1)
+    obs_point = obs_point.reshape(-1)
 
     mean_z = float(np.mean([z for z in depths.reshape(-1) if z > 0]) or 1.0)
     zw = depth_weight_scale * (fx / max(mean_z, 0.1)) ** 2

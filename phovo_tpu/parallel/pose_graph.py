@@ -111,20 +111,35 @@ def optimize_pose_graph(
     each device accumulates its block contributions and a psum merges them
     (DCN/ICI traffic: one (M,M,6,6)+(M,6) allreduce per GN iteration).
     """
-    M = graph.states.shape[0]
     K = graph.edges_i.shape[0]
-
+    ei, ej, z, w = graph.edges_i, graph.edges_j, graph.measurements, graph.weights
     if mesh is not None:
-        axis = axis or mesh.axis_names[0]
         n = 1
         for a in mesh.axis_names:
             n *= mesh.shape[a]
         pad = (-K) % n
-        ei = jnp.concatenate([graph.edges_i, -jnp.ones(pad, jnp.int32)])
-        ej = jnp.concatenate([graph.edges_j, -jnp.ones(pad, jnp.int32)])
-        z = jnp.concatenate([graph.measurements, jnp.zeros((pad, 6), jnp.float32)])
-        w = jnp.concatenate([graph.weights, jnp.zeros(pad, jnp.float32)])
+        ei = jnp.concatenate([ei, -jnp.ones(pad, jnp.int32)])
+        ej = jnp.concatenate([ej, -jnp.ones(pad, jnp.int32)])
+        z = jnp.concatenate([z, jnp.zeros((pad, 6), jnp.float32)])
+        w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)])
+    return _optimize_pose_graph_jit(
+        graph.states, ei, ej, z, w, jnp.float32(damping),
+        mesh=mesh, iterations=iterations, fixed_first=fixed_first,
+    )
 
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "iterations", "fixed_first")
+)
+def _optimize_pose_graph_jit(
+    states0, ei, ej, z, w, damping, *, mesh, iterations, fixed_first
+):
+    """Jitted core with the graph data as ARGUMENTS: a closure-captured
+    graph would be baked into the program as constants, making every
+    distinct graph compile (and persistent-cache-miss) its own program."""
+    M = states0.shape[0]
+
+    if mesh is not None:
         spec = P(mesh.axis_names)  # shard edges over ALL mesh axes flattened
 
         @functools.partial(
@@ -148,10 +163,7 @@ def optimize_pose_graph(
     else:
 
         def build(states):
-            return _accumulate_shard(
-                states, graph.edges_i, graph.edges_j,
-                graph.measurements, graph.weights, M,
-            )
+            return _accumulate_shard(states, ei, ej, z, w, M)
 
     def gn_step(states, _):
         H, g, cost = build(states)
@@ -167,7 +179,7 @@ def optimize_pose_graph(
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))
         return states - step.reshape(M, 6), cost
 
-    states, costs = jax.lax.scan(gn_step, graph.states, None, length=iterations)
+    states, costs = jax.lax.scan(gn_step, states0, None, length=iterations)
     return states, costs[-1]
 
 
