@@ -187,10 +187,15 @@ def _schur_step(states, points, blocks, damping, fixed_first):
     # is unit-free. Unobserved landmarks get the identity floor, making
     # their update exactly zero.
     Vdiag = V * jnp.eye(3, dtype=V.dtype)  # diagonal part of each block
+    # + tiny absolute floor (mirroring the dense oracle and Sd below): V is
+    # PSD, so an exactly-zero diagonal entry (e.g. a point observed only on
+    # the optical axis with z_weights=0) zeroes its whole row/col and
+    # survives multiplicative damping — without the floor Vd is singular,
+    # inv() returns inf, and the finite guard discards the entire update.
     Vd = V + damping * Vdiag + (
         (jnp.abs(V).sum((-1, -2), keepdims=True) == 0).astype(V.dtype)
-        * jnp.eye(3, dtype=V.dtype)
-    )
+        + 1e-10
+    ) * jnp.eye(3, dtype=V.dtype)
     Vinv = jnp.linalg.inv(Vd)  # (P, 3, 3)
 
     WVinv = jnp.einsum("ipab,pbc->ipac", Wb, Vinv, precision=hp)  # (M, P, 6, 3)
@@ -234,47 +239,40 @@ def _lm_iterate(build, states0, points0, iterations, damping, fixed_first):
     Plain Gauss-Newton on a near-degenerate window (e.g. co-planar landmarks
     with short baselines — common in keyframe VO) can take an unbounded step
     along a near-null direction and corrupt a perfectly good initialization.
-    This driver linearizes the current iterate, ACCEPTS it only if its cost
-    is no worse than the best seen (first iterate always accepts), steps
-    with a multiplicative ridge `lam` that shrinks on acceptance (floored at
-    `damping`) and grows 8x on rejection, and on rejection restarts the next
-    iteration from the best iterate. Returns (best_states, best_points,
-    best_cost) — cost is guaranteed non-increasing."""
+    Each scan iteration steps FROM the best accepted iterate using its
+    CACHED linearization, then evaluates (and linearizes) the trial point
+    with one build() call: accepted trials become the new best (ridge `lam`
+    shrinks, floored at `damping`); rejected trials only grow `lam` 8x and
+    the cached blocks are reused — a rejection never re-linearizes. Returns
+    (best_states, best_points, best_cost) — cost is guaranteed
+    non-increasing. Total cost: iterations + 1 build() calls."""
 
-    def gn_step(carry, _):
-        cur_s, cur_p, best_s, best_p, best_cost, lam = carry
-        blocks = build(cur_s, cur_p)
+    blocks0 = build(states0, points0)
+
+    def lm_step(carry, _):
+        best_s, best_p, best_blocks, best_cost, lam = carry
+        st_s, st_p, _ = _schur_step(best_s, best_p, best_blocks, lam,
+                                    fixed_first)
+        blocks = build(st_s, st_p)
         cost = blocks[-1]
         ok = cost <= best_cost * (1.0 + 1e-6)
-        best_s2 = jnp.where(ok, cur_s, best_s)
-        best_p2 = jnp.where(ok, cur_p, best_p)
+        best_s2 = jnp.where(ok, st_s, best_s)
+        best_p2 = jnp.where(ok, st_p, best_p)
+        blocks2 = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), blocks, best_blocks
+        )
         best_cost2 = jnp.minimum(cost, best_cost)
         lam2 = jnp.where(
             ok,
             jnp.maximum(lam * 0.5, damping),
             jnp.minimum(lam * 8.0, 1e3),
         )
-        st_s, st_p, _ = _schur_step(cur_s, cur_p, blocks, lam2, fixed_first)
-        nxt_s = jnp.where(ok, st_s, best_s2)
-        nxt_p = jnp.where(ok, st_p, best_p2)
-        return (nxt_s, nxt_p, best_s2, best_p2, best_cost2, lam2), cost
+        return (best_s2, best_p2, blocks2, best_cost2, lam2), cost
 
-    init = (
-        states0, points0, states0, points0,
-        jnp.float32(jnp.inf), jnp.float32(damping),
-    )
-    (cur_s, cur_p, bs, bp, bc, _), _ = jax.lax.scan(
-        gn_step, init, None, length=iterations
-    )
-    # the final step was produced but never evaluated: one extra
-    # linearization decides between it and the best accepted iterate
-    final_cost = build(cur_s, cur_p)[-1]
-    ok = final_cost <= bc
-    return (
-        jnp.where(ok, cur_s, bs),
-        jnp.where(ok, cur_p, bp),
-        jnp.minimum(final_cost, bc),
-    )
+    init = (states0, points0, blocks0, blocks0[-1], jnp.float32(damping))
+    (bs, bp, _, bc, _), _ = jax.lax.scan(lm_step, init, None,
+                                         length=iterations)
+    return bs, bp, bc
 
 
 def optimize_bundle(

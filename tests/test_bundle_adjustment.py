@@ -138,3 +138,43 @@ def test_gauge_anchor_fixed():
     np.testing.assert_allclose(
         np.asarray(states[0]), np.asarray(problem.pose_states[0]), atol=1e-7
     )
+
+
+def test_rank_deficient_landmark_does_not_poison_update():
+    """A pixel-only landmark observed exactly on the optical axis has a
+    projection Jacobian with a zero depth column, so its V block is exactly
+    singular along that ray. Multiplicative damping alone cannot regularize
+    a zero diagonal entry; without the absolute floor inv(Vd) is inf and the
+    finite guard used to discard the ENTIRE window's update, silently
+    returning the initialization."""
+    problem, _, _ = make_synthetic_ba(n_poses=4, n_points=16, seed=7)
+    # place a landmark on pose 0's optical axis (camera-frame (0, 0, 2)) at
+    # the INITIAL estimate, observed only by pose 0 at the principal point
+    # with z_weight 0 (pixel-only => scale direction unconstrained)
+    T0 = se3.pose_matrix(problem.pose_states[0].astype(jnp.float64))
+    p_w = (T0 @ jnp.asarray([0.0, 0.0, 2.0, 1.0], jnp.float64))[:3]
+    degenerate = problem._replace(
+        points=jnp.concatenate(
+            [problem.points, p_w[None].astype(jnp.float32)], axis=0
+        ),
+        obs_pose=jnp.concatenate([problem.obs_pose, jnp.zeros(1, jnp.int32)]),
+        obs_point=jnp.concatenate(
+            [problem.obs_point,
+             jnp.full((1,), problem.points.shape[0], jnp.int32)]
+        ),
+        obs_uv=jnp.concatenate(
+            [problem.obs_uv,
+             jnp.asarray([[TUM_DEFAULT.cx, TUM_DEFAULT.cy]], jnp.float32)]
+        ),
+        obs_z=jnp.concatenate([problem.obs_z, jnp.asarray([2.0], jnp.float32)]),
+        weights=jnp.concatenate([problem.weights, jnp.ones(1, jnp.float32)]),
+        z_weights=jnp.concatenate(
+            [problem.z_weights, jnp.zeros(1, jnp.float32)]
+        ),
+    )
+    _, _, c0 = optimize_bundle(degenerate, TUM_DEFAULT, iterations=0)
+    states, _, c6 = optimize_bundle(degenerate, TUM_DEFAULT, iterations=6)
+    assert float(c6) < 0.5 * float(c0)
+    assert not np.allclose(
+        np.asarray(states[1:]), np.asarray(degenerate.pose_states[1:])
+    )
