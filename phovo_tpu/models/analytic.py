@@ -21,7 +21,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.models.base import (
+    AlignmentResult,
+    PhotoconsistencyOdometryBase,
+    device_unit_intensity,
+)
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops.camera import Intrinsics
@@ -45,10 +49,8 @@ def align_analytic(
     # u8 inputs are converted on device (reference SetSourceFrame's 1/255,
     # …Analytic.h:470-471) — host-side conversion is slow and quadruples the
     # host->device transfer.
-    if source_intensity.dtype == jnp.uint8:
-        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
-    if target_intensity.dtype == jnp.uint8:
-        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    source_intensity = device_unit_intensity(source_intensity)
+    target_intensity = device_unit_intensity(target_intensity)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     int0 = pyr.build_pyramid(source_intensity, L, blur)
@@ -91,9 +93,25 @@ def align_analytic(
 
     state = jnp.asarray(init_state, jnp.float32)
     diags = [None] * L
+    # robust_loss='tdist': the solvers carry the adaptive residual scale and
+    # pass it as the (traced) robust_delta of each linearization; the scale
+    # flows coarse -> fine across levels (residuals are intensity
+    # differences at every level, so the estimate transfers), with
+    # scale-only burn-in passes at the first active level where only the
+    # config seed is available (ops/robust.py TDIST_BURNIN).
+    tdist = config.robust_loss == "tdist"
+    if tdist:
+        from phovo_tpu.ops.robust import (
+            TDIST_BURNIN, tdist_scale_update,
+        )
+
+        sigma = jnp.float32(config.robust_delta)
+        first_active = True
     for level in range(L - 1, -1, -1):
         intr_l = intr.at_level(level)
         kind, tgt = packed[level] or (None, None)
+        active = config.max_iterations[level] > 0
+        burnin = TDIST_BURNIN if (tdist and active and first_active) else 0
         if kind == "pallas":
             # whole level (all GN iterations + solves) in one kernel call
             from phovo_tpu.solvers.gauss_newton import GNLevelResult
@@ -109,22 +127,28 @@ def align_analytic(
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
                 source_grads=(gx0[level], gy0[level]) if esm else None,
+                robust_scale=sigma if tdist else None,
+                tdist_burnin=burnin,
             )
             state = st
             diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
+            if tdist and active:
+                sigma = tdist_scale_update(cost, nvalid)
+                first_active = False
             continue
         if kind == "packed":
 
-            def linearize(s, _lvl=level, _tgt=tgt, _intr=intr_l):
+            def linearize(s, *sigma, _lvl=level, _tgt=tgt, _intr=intr_l):
                 return fused_ops.packed_normal_equations(
                     int0[_lvl], dep0[_lvl], _tgt, s, _intr,
                     config.min_depth, config.max_depth, config.sampling,
-                    config.robust_loss, config.robust_delta,
+                    config.robust_loss,
+                    sigma[0] if sigma else config.robust_delta,
                 )
 
         else:
 
-            def linearize(s, _lvl=level, _intr=intr_l):
+            def linearize(s, *sigma, _lvl=level, _intr=intr_l):
                 r, J, valid = photometric_residual_jacobian(
                     int0[_lvl], dep0[_lvl], int1[_lvl], gx1[_lvl], gy1[_lvl],
                     s, _intr,
@@ -134,7 +158,8 @@ def align_analytic(
                     source_grad_y=gy0[_lvl] if esm else None,
                 )
                 return normal_equations(
-                    r, J, valid, config.robust_loss, config.robust_delta
+                    r, J, valid, config.robust_loss,
+                    sigma[0] if sigma else config.robust_delta,
                 )
 
         res = gauss_newton_level(
@@ -143,9 +168,14 @@ def align_analytic(
             max_iterations=config.max_iterations[level],
             min_gradient_norm=config.min_gradient_norms[level],
             lambda_step=config.lambda_steps[level],
+            adaptive_scale=sigma if tdist else None,
+            adaptive_burnin=burnin,
         )
         state = res.state
         diags[level] = res
+        if tdist and active:
+            sigma = tdist_scale_update(res.cost, res.num_valid)
+            first_active = False
 
     return AlignmentResult(
         state=state,
@@ -216,8 +246,7 @@ def align_sequence_chunk(
     """
     if depth_scale is not None and depths.dtype != jnp.float32:
         depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
-    if intensities.dtype == jnp.uint8:
-        intensities = intensities.astype(jnp.float32) * (1.0 / 255.0)
+    intensities = device_unit_intensity(intensities)
     I = jnp.concatenate([carry_intensity.astype(jnp.float32)[None], intensities])
     D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
     results = align_sequence(I, D, intr, config, use_fused, warm_start)

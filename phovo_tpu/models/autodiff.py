@@ -24,7 +24,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.models.base import (
+    AlignmentResult,
+    PhotoconsistencyOdometryBase,
+    device_unit_intensity,
+)
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops.camera import Intrinsics
@@ -48,12 +52,17 @@ def align_autodiff(
     jacobian_mode: str = "linearizer",
 ) -> AlignmentResult:
     del target_depth
+    if config.robust_loss == "tdist":
+        raise ValueError(
+            "robust_loss='tdist' needs the Gauss-Newton solver (its "
+            "adaptive scale changes the cost between trust-region "
+            "iterations, breaking the accept/reject comparison); use the "
+            "'analytic' backend, or huber/cauchy/tukey here"
+        )
     # u8 inputs convert on device (reference SetSourceFrame's 1/255):
     # host-side conversion would quadruple the host->device transfer
-    if source_intensity.dtype == jnp.uint8:
-        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
-    if target_intensity.dtype == jnp.uint8:
-        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    source_intensity = device_unit_intensity(source_intensity)
+    target_intensity = device_unit_intensity(target_intensity)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     int0 = pyr.build_pyramid(source_intensity, L, blur)

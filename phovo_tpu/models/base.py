@@ -62,6 +62,17 @@ def as_float_intensity(img) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+def device_unit_intensity(img: jax.Array) -> jax.Array:
+    """The on-device half of as_float_intensity: uint8 -> float32 * (1/255)
+    inside the jitted aligner (the reference SetSourceFrame conversion,
+    …Analytic.h:470-471); float inputs pass through. Every backend routes
+    its intensity inputs through here so the unit convention lives in one
+    place."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    return img
+
+
 def _as_float_depth(depth) -> np.ndarray:
     if isinstance(depth, jax.Array):
         return depth.astype(jnp.float32)

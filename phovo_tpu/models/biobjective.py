@@ -26,7 +26,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.models.base import (
+    AlignmentResult,
+    PhotoconsistencyOdometryBase,
+    device_unit_intensity,
+)
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
 from phovo_tpu.ops.camera import Intrinsics
@@ -51,12 +55,16 @@ def align_biobjective(
             "gradient_at='esm' is photometric-only; the bi-objective "
             "backend supports 'warped' and 'source'"
         )
+    if config.robust_loss == "tdist":
+        raise ValueError(
+            "robust_loss='tdist' is photometric-only (the intensity and "
+            "depth channels would need separate adaptive scales); use "
+            "huber/cauchy/tukey for the bi-objective backend"
+        )
     # u8 inputs convert on device (reference SetSourceFrame's 1/255):
     # host-side conversion would quadruple the host->device transfer
-    if source_intensity.dtype == jnp.uint8:
-        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
-    if target_intensity.dtype == jnp.uint8:
-        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    source_intensity = device_unit_intensity(source_intensity)
+    target_intensity = device_unit_intensity(target_intensity)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     scales = tuple(config.gradient_scales)

@@ -20,7 +20,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from phovo_tpu.models.base import AlignmentResult, PhotoconsistencyOdometryBase
+from phovo_tpu.models.base import (
+    AlignmentResult,
+    PhotoconsistencyOdometryBase,
+    device_unit_intensity,
+)
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import ic as ic_ops
 from phovo_tpu.ops import pyramid as pyr
@@ -53,10 +57,8 @@ def align_ic(
             "the source frame); use backend 'analytic', 'biobjective' or "
             "'ceres', or set robust_loss: none"
         )
-    if source_intensity.dtype == jnp.uint8:
-        source_intensity = source_intensity.astype(jnp.float32) * (1.0 / 255.0)
-    if target_intensity.dtype == jnp.uint8:
-        target_intensity = target_intensity.astype(jnp.float32) * (1.0 / 255.0)
+    source_intensity = device_unit_intensity(source_intensity)
+    target_intensity = device_unit_intensity(target_intensity)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     int0 = pyr.build_pyramid(source_intensity, L, blur)
@@ -158,8 +160,7 @@ def align_sequence_chunk_ic(
     carry, storage-dtype transfers, on-device conversion."""
     if depth_scale is not None and depths.dtype != jnp.float32:
         depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
-    if intensities.dtype == jnp.uint8:
-        intensities = intensities.astype(jnp.float32) * (1.0 / 255.0)
+    intensities = device_unit_intensity(intensities)
     I = jnp.concatenate([carry_intensity.astype(jnp.float32)[None], intensities])
     D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
     results = align_sequence_ic(I, D, intr, config, use_fused, warm_start)

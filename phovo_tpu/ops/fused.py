@@ -189,7 +189,7 @@ def _split_sample(blocks, colw, bilinear, exact):
 
 
 def pack_geometry(source_depth, intr, min_depth, max_depth, NP,
-                  source_grads=None):
+                  source_grads=None, include_valid=True):
     """State-invariant per-pixel geometry, hoisted out of the GN iteration
     loop: (4, NP) rows [px, py, pz, valid_depth] where (px, py, pz) is the
     back-projected source point and valid_depth the (minD, maxD) range mask.
@@ -202,18 +202,23 @@ def pack_geometry(source_depth, intr, min_depth, max_depth, NP,
 
     source_grads=(gx0, gy0): the SOURCE intensity gradients for the ESM
     Jacobian (gradient_at='esm') — also loop-invariant, appended as rows
-    4 and 5 (making the pack (6, NP))."""
+    4 and 5 (making the pack (6, NP)).
+
+    include_valid=False drops the valid_depth row (a (3, NP) pack) for
+    kernels that carry the depth mask elsewhere (the IC kernel's J8 row 7);
+    keeping a dead (1, NP) row VMEM-resident costs 1.2 MB at VGA."""
     H, W = source_depth.shape
     c = jnp.arange(W, dtype=jnp.float32)
     r = jnp.arange(H, dtype=jnp.float32)
     cc, rr = jnp.meshgrid(c, r)
     px = (cc - intr.cx) * source_depth / intr.fx
     py = (rr - intr.cy) * source_depth / intr.fy
-    validf = (
-        (source_depth > min_depth) & (source_depth < max_depth)
-    ).astype(jnp.float32)
-    rows = [px.reshape(-1), py.reshape(-1), source_depth.reshape(-1),
-            validf.reshape(-1)]
+    rows = [px.reshape(-1), py.reshape(-1), source_depth.reshape(-1)]
+    if include_valid:
+        validf = (
+            (source_depth > min_depth) & (source_depth < max_depth)
+        ).astype(jnp.float32)
+        rows.append(validf.reshape(-1))
     if source_grads is not None:
         rows += [source_grads[0].reshape(-1), source_grads[1].reshape(-1)]
     geom = jnp.stack(rows)  # (4 or 6, H*W)
@@ -641,14 +646,18 @@ def _fused_kernel(
     Sampling is dot(target rows, column-mask) on the MXU, then a row-mask
     multiply + sublane reduction; the Gram is one (8, NT)x(NT, 8)
     dot_general. The (N, 6) Jacobian never exists outside registers.
+
+    robust_loss='tdist' reads the (traced) adaptive scale from state slot 6
+    — the solver loop carries it (solvers/gauss_newton.py adaptive_scale).
     """
+    rd = state_ref[0, 6] if robust_loss == "tdist" else robust_delta
     gram = _linearize_gram(
         state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
         state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
         const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
         i0_ref, geom_ref, t_all_ref,
         H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
-        robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
+        robust_loss=robust_loss, robust_delta=rd, esm=esm,
     )
     out_ref[:] = gram
 
@@ -694,11 +703,23 @@ def _chol_solve6(A, b):
 def _run_gn_loop(
     linearize, state_ref, state_out_ref, diag_out_ref,
     max_iterations, min_gradient_norm, lambda_step, bi,
+    tdist_sigma0=None, tdist_burnin=0,
 ):
     """Shared in-kernel Gauss-Newton driver: lax.while_loop over iterations
     with an unrolled scalar Cholesky solve. linearize(s0..s5) -> Gram
     ((8,8) photometric or (16,16) bi-objective; the depth block is summed
-    into the normal equations)."""
+    into the normal equations).
+
+    tdist_sigma0 (robust_loss='tdist', photometric only): initial residual
+    scale (scalar, possibly traced — carried across levels by the model);
+    linearize is then called as linearize(s0..s5, sigma) and sigma is
+    re-estimated each iteration from Gram[6,6]/Gram[7,7] (= sum w r^2 / n,
+    one t fixed-point step — mirrors the XLA solver's adaptive_scale).
+    tdist_burnin runs that fixed point N extra times at the initial state
+    before the GN loop (first active level only — see gauss_newton_level)."""
+    tdist = tdist_sigma0 is not None
+    if tdist and bi:
+        raise ValueError("robust_loss='tdist' is photometric-only")
 
     def cond(carry):
         it, gnorm = carry[6], carry[7]
@@ -706,7 +727,10 @@ def _run_gn_loop(
 
     def body(carry):
         s = carry[:6]
-        gram = linearize(*s)
+        if tdist:
+            gram = linearize(*s, carry[10])
+        else:
+            gram = linearize(*s)
         if bi:
             A = [
                 [gram[i, j] + gram[8 + i, 8 + j] for j in range(6)]
@@ -728,13 +752,25 @@ def _run_gn_loop(
             jnp.where(finite, s[k] - lambda_step * xs[k], s[k]) for k in range(6)
         )
         gnorm = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
-        return new_s + (carry[6] + 1.0, gnorm, cost, nvalid)
+        out = new_s + (carry[6] + 1.0, gnorm, cost, nvalid)
+        if tdist:
+            # sigma^2 <- sum w r^2 / n (ops/robust.py tdist_scale_update,
+            # inlined on the scalar unit)
+            var = cost / jnp.maximum(nvalid, 1.0)
+            sigma = jnp.maximum(jnp.sqrt(var), jnp.float32(1e-4))
+            out = out + (sigma,)
+        return out
 
-    init = (
-        state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
-        state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
+    s_init = tuple(state_ref[0, k] for k in range(6))
+    if tdist:
+        sigma0 = jnp.asarray(tdist_sigma0, jnp.float32)
+        for _ in range(tdist_burnin):
+            g = linearize(*s_init, sigma0)
+            var = g[6, 6] / jnp.maximum(g[7, 7], 1.0)
+            sigma0 = jnp.maximum(jnp.sqrt(var), jnp.float32(1e-4))
+    init = s_init + (
         jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0),
-    )
+    ) + ((sigma0,) if tdist else ())
     final = jax.lax.while_loop(cond, body, init)
     for k in range(6):
         state_out_ref[0, k] = final[k]
@@ -952,6 +988,7 @@ def _fused_gn_kernel(
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
     mix_mode="f32", robust_loss="none", robust_delta=0.1, esm=False,
+    tdist_burnin=0,
 ):
     """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
 
@@ -970,17 +1007,35 @@ def _fused_gn_kernel(
     cx = const_ref[0, 2]
     cy = const_ref[0, 3]
 
-    def linearize(s0, s1, s2, s3, s4, s5):
-        return _linearize_gram(
-            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
-            i0_ref, geom_ref, t_all_ref,
-            H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
-            robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
-        )
+    if robust_loss == "tdist":
+        # adaptive scale: the GN driver carries sigma and passes it as the
+        # (traced) robust_delta of each linearization
+        def linearize(s0, s1, s2, s3, s4, s5, sigma):
+            return _linearize_gram(
+                s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+                i0_ref, geom_ref, t_all_ref,
+                H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+                robust_loss=robust_loss, robust_delta=sigma, esm=esm,
+            )
+
+        # the (traced) cross-level carried scale rides in state slot 6; the
+        # static robust_delta is only the cold seed the model fell back to
+        sigma0 = state_ref[0, 6]
+    else:
+        def linearize(s0, s1, s2, s3, s4, s5):
+            return _linearize_gram(
+                s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+                i0_ref, geom_ref, t_all_ref,
+                H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+                robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
+            )
+
+        sigma0 = None
 
     _run_gn_loop(
         linearize, state_ref, state_out_ref, diag_out_ref,
         max_iterations, min_gradient_norm, lambda_step, bi=False,
+        tdist_sigma0=sigma0, tdist_burnin=tdist_burnin,
     )
 
 
@@ -1060,9 +1115,17 @@ def make_fused_linearizer(
         interpret=interpret,
     )
 
-    def linearize(state) -> NormalEquations:
+    def linearize(state, robust_scale=None) -> NormalEquations:
+        # slot 6 carries the robust scale; for tdist the solver loop passes
+        # its carried adaptive sigma, otherwise the static delta rides along
+        # unused by the kernel
+        scale = (
+            jnp.float32(robust_delta) if robust_scale is None
+            else jnp.asarray(robust_scale, jnp.float32)
+        )
         st = jnp.concatenate(
-            [state.astype(jnp.float32), jnp.zeros(2, jnp.float32)]
+            [state.astype(jnp.float32), scale.reshape(1),
+             jnp.zeros(1, jnp.float32)]
         ).reshape(1, 8)
         gram = call(st, const, i0_flat, geom, t_all)
         return NormalEquations(
@@ -1081,9 +1144,13 @@ def fused_gn_level(
     sampling: str = "nearest", interpret: bool = False,
     depth_cols=None, depth_gain=None, mix_mode: str = "f32",
     robust_loss: str = "none", robust_delta: float = 0.1,
-    source_grads=None,
+    source_grads=None, robust_scale=None, tdist_burnin: int = 0,
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
+
+    robust_scale (robust_loss='tdist'): traced initial scale carried from
+    the previous level (defaults to robust_delta); tdist_burnin: extra
+    scale-only fixed-point passes at the initial state (first active level).
 
     Returns (state (6,), iterations, gradient_norm, cost, num_valid) with
     GNLevelResult-compatible semantics (solvers/gauss_newton.py): an update
@@ -1106,9 +1173,17 @@ def fused_gn_level(
     if bi:
         if source_grads is not None:
             raise ValueError("gradient_at='esm' is photometric-only")
+        if robust_loss == "tdist":
+            raise ValueError(
+                "robust_loss='tdist' is photometric-only (the intensity and "
+                "depth channels would need separate adaptive scales); use "
+                "huber/cauchy/tukey for the bi-objective backend"
+            )
         t_all = jnp.concatenate([t_all] + list(depth_cols), axis=0)  # (6H, W)
     kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
-    extra = {} if bi else {"esm": source_grads is not None}
+    extra = {} if bi else {
+        "esm": source_grads is not None, "tdist_burnin": int(tdist_burnin),
+    }
     kernel = functools.partial(
         kern_fn, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
         max_iterations=float(max_iterations),
@@ -1125,8 +1200,14 @@ def fused_gn_level(
             gain, jnp.float32(0),
         ]
     ).reshape(1, 8)
+    # slot 6: the tdist carried scale (robust_delta seed when not supplied)
+    scale = (
+        jnp.float32(robust_delta) if robust_scale is None
+        else jnp.asarray(robust_scale, jnp.float32)
+    )
     st = jnp.concatenate(
-        [jnp.asarray(init_state, jnp.float32), jnp.zeros(2, jnp.float32)]
+        [jnp.asarray(init_state, jnp.float32), scale.reshape(1),
+         jnp.zeros(1, jnp.float32)]
     ).reshape(1, 8)
     inputs = [
         st, const,

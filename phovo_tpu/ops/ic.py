@@ -163,7 +163,7 @@ def _ic_gn_kernel(
     state_ref (SMEM, (1, 16)): [R row-major (9), t (3), pad]. The pose stays
     in matrix form throughout (Pallas TPU has no atan2 for Euler extraction).
     L_ref (SMEM, (1, 36)): row-major 6x6 Cholesky factor of J0^T J0.
-    geom_ref (VMEM, (4, NP)): hoisted [px, py, pz, valid_depth] source
+    geom_ref (VMEM, (3, NP)): hoisted [px, py, pz] source
     geometry (ops/fused.py pack_geometry) — state-invariant, so it is NOT
     recomputed per iteration.
     J8_ref (VMEM, (8, NP)): [J0..J5; I0; valid0] from ic_precompute.
@@ -361,9 +361,11 @@ def ic_gn_level(
             jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
         ]
     ).reshape(1, 8)
-    # hoisted geometry (the valid_depth row is unused here — J8 row 7
-    # already carries the depth-range mask from ic_precompute)
-    geom = pack_geometry(source_depth, intr, 0.0, float("inf"), NP)
+    # hoisted geometry without the valid_depth row (J8 row 7 already
+    # carries the depth-range mask from ic_precompute)
+    geom = pack_geometry(
+        source_depth, intr, 0.0, float("inf"), NP, include_valid=False
+    )
     J8p = (
         J8 if J8.shape[1] == NP
         else jnp.pad(J8, ((0, 0), (0, NP - J8.shape[1])))

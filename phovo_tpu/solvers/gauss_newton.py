@@ -81,11 +81,25 @@ def gauss_newton_level(
     min_gradient_norm: float,
     lambda_step: float = 1.0,
     damping: float = 0.0,
+    adaptive_scale=None,
+    adaptive_burnin: int = 0,
 ) -> GNLevelResult:
     """Run Gauss-Newton at one pyramid level.
 
     linearize(state) -> NormalEquations for the level's image data (closed
     over by the caller; static shapes per level so each level compiles once).
+
+    adaptive_scale (robust_loss='tdist'): initial residual scale sigma0
+    (float or traced scalar — the caller carries it across levels);
+    linearize is then called as linearize(state, sigma) and sigma is
+    re-estimated each iteration from the reweighted cost the linearization
+    returns (one t-distribution fixed-point step per GN iteration,
+    ops/robust.py tdist_scale_update — the DVO scheme). adaptive_burnin
+    runs that fixed point N extra times at the initial state (no state
+    update) before iterating — used at the first active level, where the
+    config seed sigma0 can be far off and a nearly-unweighted first step
+    would commit to an outlier-biased basin. The final sigma is recoverable
+    by the caller as tdist_scale_update(result.cost, result.num_valid).
 
     Semantics match the reference: an update is performed, then the gradient
     norm of THAT linearization gates the next iteration; max_iterations == 0
@@ -97,17 +111,31 @@ def gauss_newton_level(
         zero = jnp.float32(0.0)
         return GNLevelResult(init_state, jnp.int32(0), zero, zero, zero)
 
+    tdist = adaptive_scale is not None
+    if tdist:
+        from phovo_tpu.ops.robust import tdist_scale_update
+
+        sigma0 = jnp.asarray(adaptive_scale, jnp.float32)
+        for _ in range(adaptive_burnin):
+            ne = linearize(init_state, sigma0)
+            sigma0 = tdist_scale_update(ne.cost, ne.num_valid)
+
     def cond(carry):
-        _, it, gnorm, _, _ = carry
+        it, gnorm = carry[1], carry[2]
         return (it < max_iterations) & (gnorm >= min_gradient_norm)
 
     def body(carry):
-        state, it, _, _, _ = carry
-        ne = linearize(state)
+        state = carry[0]
+        if tdist:
+            ne = linearize(state, carry[5])
+            sigma = tdist_scale_update(ne.cost, ne.num_valid)
+        else:
+            ne = linearize(state)
         step = _solve_step(ne.JtJ, ne.Jtr, damping)
         new_state = state - lambda_step * step
         gnorm = jnp.linalg.norm(ne.Jtr)
-        return (new_state, it + 1, gnorm, ne.cost, ne.num_valid)
+        out = (new_state, carry[1] + 1, gnorm, ne.cost, ne.num_valid)
+        return out + ((sigma,) if tdist else ())
 
     init = (
         init_state,
@@ -115,6 +143,7 @@ def gauss_newton_level(
         jnp.float32(jnp.inf),
         jnp.float32(0.0),
         jnp.float32(0.0),
-    )
-    state, it, gnorm, cost, nvalid = jax.lax.while_loop(cond, body, init)
+    ) + ((sigma0,) if tdist else ())
+    final = jax.lax.while_loop(cond, body, init)
+    state, it, gnorm, cost, nvalid = final[:5]
     return GNLevelResult(state, it, gnorm, cost, nvalid)

@@ -87,8 +87,11 @@ class PhovoConfig:
     sampling: str = "nearest"
     gradient_at: str = "warped"
     # Robust loss (no reference analog — the reference cost is purely
-    # quadratic; see ops/robust.py): 'none' | 'huber' | 'cauchy' | 'tukey',
-    # delta in residual units (intensity is 0..1, so 0.1 ~ 25 gray levels)
+    # quadratic; see ops/robust.py): 'none' | 'huber' | 'cauchy' | 'tukey'
+    # | 'tdist'; delta in residual units (intensity is 0..1, so 0.1 ~ 25
+    # gray levels). 'tdist' is the DVO Student-t weighting (Kerl et al.
+    # 2013): the scale is re-estimated from the residuals every GN
+    # iteration and robust_delta only seeds it (photometric GN backends)
     robust_loss: str = "none"
     robust_delta: float = 0.1
     # Sampling-matmul precision inside the fused Pallas kernel (ops/fused.py):

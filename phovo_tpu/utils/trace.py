@@ -65,12 +65,10 @@ def trace_alignment(
             f"{backend!r} (the trust-region backend reports per-level "
             "diagnostics from AlignmentResult instead)"
         )
-    si = jnp.asarray(source_intensity)
-    ti = jnp.asarray(target_intensity)
-    if si.dtype == jnp.uint8:
-        si = si.astype(jnp.float32) * (1.0 / 255.0)
-    if ti.dtype == jnp.uint8:
-        ti = ti.astype(jnp.float32) * (1.0 / 255.0)
+    from phovo_tpu.models.base import device_unit_intensity
+
+    si = device_unit_intensity(jnp.asarray(source_intensity))
+    ti = device_unit_intensity(jnp.asarray(target_intensity))
     sd = jnp.asarray(source_depth, jnp.float32)
     td = jnp.asarray(target_depth, jnp.float32)
 
