@@ -258,6 +258,9 @@ struct Loader {
       stopping = true;
     }
     cv_produce.notify_all();
+    // also wake any consumer blocked in phovo_loader_next waiting for a
+    // frame that will now never be decoded — it returns end-of-stream
+    cv_consume.notify_all();
     for (auto& t : workers)
       if (t.joinable()) t.join();
   }
@@ -301,7 +304,11 @@ int phovo_loader_next(void* h, uint8_t* intensity, float* depth, int cap,
   std::unique_lock<std::mutex> lk(L->mu);
   if (L->next_to_consume >= (int)L->pairs.size()) return 1;
   int idx = L->next_to_consume;
-  L->cv_consume.wait(lk, [&] { return L->ready.count(idx) > 0; });
+  L->cv_consume.wait(
+      lk, [&] { return L->stopping || L->ready.count(idx) > 0; });
+  // stop() aborts a blocked consumer as a clean end-of-stream (the frame
+  // it was waiting on will never be decoded)
+  if (L->ready.count(idx) == 0) return 1;
   Frame f = std::move(L->ready[idx]);
   L->ready.erase(idx);
   L->next_to_consume++;
@@ -325,6 +332,13 @@ int phovo_loader_next(void* h, uint8_t* intensity, float* depth, int cap,
   *W = f.intensity.w;
   return 0;
 }
+
+// Stop decode workers and unblock any consumer waiting in
+// phovo_loader_next (it sees end-of-stream), WITHOUT freeing the loader.
+// Callers tearing down from another thread call this first, let their
+// consumers drain, then call phovo_loader_close — destroying the mutex
+// while a thread is blocked on it is undefined behavior.
+void phovo_loader_stop(void* h) { ((Loader*)h)->stop(); }
 
 void phovo_loader_close(void* h) {
   auto* L = (Loader*)h;

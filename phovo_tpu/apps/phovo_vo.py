@@ -241,12 +241,19 @@ def _main(argv=None) -> int:
                     window["prev"].intensity, window["prev"].depth,
                     window["cur"].intensity, fr.relative_state, intr,
                 )
-                save_image(diff_dir / f"diff_{pipeline.frame_index:06d}.png", diff)
+                # diff inherits the frames' range: u8 storage -> 0..255
+                save_image(
+                    diff_dir / f"diff_{pipeline.frame_index:06d}.png", diff,
+                    unit_range=(
+                        np.asarray(window["prev"].intensity).dtype != np.uint8
+                        and float(np.asarray(
+                            window["prev"].intensity).max()) <= 1.5
+                    ),
+                )
             if args.max_frames is not None and n_done >= args.max_frames:
                 break
     if metrics is not None:
         metrics.close()
-
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
 
@@ -293,22 +300,76 @@ def _run_chunked(args, cfg, intr, seq) -> int:
 
     import jax.numpy as jnp
 
+    from pathlib import Path as _Path
+
+    from phovo_tpu.models.sequence import Checkpoint
+
+    if args.save_diff_dir:
+        print(
+            "note: --save-diff-dir is not supported with --chunk (frames "
+            "stream through the device in storage dtype); use --chunk 1",
+            file=sys.stderr,
+        )
+
     pose = np_.eye(4)
     n_done = 0
+    skip = 0
+    if args.resume and args.checkpoint and _Path(args.checkpoint).is_file():
+        ck = Checkpoint.load(args.checkpoint)
+        pose = np_.asarray(ck.global_pose, np_.float64)
+        n_done = skip = int(ck.frame_index)
+        out_path = _Path(args.output)
+        if out_path.is_file():
+            # keep exactly the checkpoint's poses: a crash between the
+            # per-chunk checkpoint saves can leave the trajectory up to one
+            # chunk ahead, which would duplicate lines after the append
+            lines = out_path.read_text().splitlines()
+            kept, n_pose = [], 0
+            for ln in lines:
+                if ln.strip() and not ln.lstrip().startswith("#"):
+                    if n_pose >= skip:
+                        continue
+                    n_pose += 1
+                kept.append(ln)
+            out_path.write_text("\n".join(kept) + ("\n" if kept else ""))
+        if not args.quiet:
+            print(f"resumed at frame {n_done}")
+
+    metrics = None
+    if args.metrics:
+        from phovo_tpu.utils.profiling import MetricsLogger
+
+        metrics = MetricsLogger(args.metrics)
 
     def integrate(states, timestamps, out, dt):
         nonlocal pose, n_done
-        for k in range(len(states)):
+        m = len(states)
+        for k in range(m):
             Rt = np_.asarray(se3.pose_matrix(states[k].astype(np_.float64)))
             pose = pose @ np_.linalg.inv(Rt)
             out.write(timestamps[k], pose)
             n_done += 1
+            if metrics is not None:
+                metrics.log(
+                    frame=n_done,
+                    timestamp=timestamps[k],
+                    align_seconds=dt / m,
+                    relative_state=states[k],
+                )
             if args.max_frames is not None and n_done >= args.max_frames:
+                if args.checkpoint:
+                    Checkpoint(n_done, pose, np_.asarray(states[k])).save(
+                        args.checkpoint
+                    )
                 return True
+        if args.checkpoint:
+            Checkpoint(n_done, pose, np_.asarray(states[-1])).save(
+                args.checkpoint
+            )
         if not args.quiet:
             print(
-                f"chunk of {len(states)} pairs: {dt:.4f} s "
-                f"({len(states) / dt:.1f} pairs/s)"
+                f"chunk of {m} pairs: {dt:.4f} s "
+                f"({m / dt:.1f} pairs/s)"
             )
         return False
 
@@ -317,26 +378,35 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         depth_scale = float(seq.depth_scale)
 
     def chunk_stream():
-        """Yield (I_new (m,H,W) storage dtype, D_new, timestamps (m,))."""
+        """Yield (I_new (m,H,W) storage dtype, D_new, timestamps (m,)).
+
+        On --resume, `skip` already-processed frames are discarded first so
+        the priming (carry) frame is the last frame the checkpoint covered.
+        """
         if hasattr(seq, "read_chunk"):
             if hasattr(seq, "height"):  # random-access (raw replay)
                 H, W = seq.height, seq.width
+                left = skip
+                while left > 0:
+                    Ii, _, _ = seq.read_chunk(min(left, args.chunk), H, W)
+                    if len(Ii) == 0:
+                        return
+                    left -= len(Ii)
                 Ii, Dd, ts = seq.read_chunk(1, H, W)
                 if len(Ii) == 0:
                     return
                 yield (Ii, Dd, None)  # priming frame
             else:  # streaming (native decode pool): prime by iteration
+                # (native frames carry metric float32 depth — only the raw
+                # replay stores uint16 counts, and it is random-access)
                 it = iter(seq)
-                first = next(it, None)
-                if first is None:
-                    return
+                first = None
+                for _ in range(skip + 1):
+                    first = next(it, None)
+                    if first is None:
+                        return
                 H, W = first.intensity.shape
-                dd = first.depth
-                if depth_scale is not None and dd.dtype == np_.float32:
-                    dd = np_.clip(
-                        dd / depth_scale + 0.5, 0, 65535
-                    ).astype(np_.uint16)
-                yield (first.intensity[None], dd[None], None)
+                yield (first.intensity[None], first.depth[None], None)
             while True:
                 Ii, Dd, ts = seq.read_chunk(args.chunk, H, W)
                 if len(Ii) == 0:
@@ -344,9 +414,11 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                 yield (Ii, Dd, ts)
         else:
             frames = prefetch(iter(seq))
-            first = next(frames, None)
-            if first is None:
-                return
+            first = None
+            for _ in range(skip + 1):
+                first = next(frames, None)
+                if first is None:
+                    return
             yield (
                 np_.asarray(first.intensity)[None],
                 np_.asarray(first.depth, np_.float32)[None],
@@ -366,7 +438,7 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                     [f.timestamp for f in chunk],
                 )
 
-    with TrajectoryWriter(args.output) as out:
+    with TrajectoryWriter(args.output, append=skip > 0) as out:
         stream = chunk_stream()
         prime = next(stream, None)
         if prime is None:
@@ -416,6 +488,8 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                 p_states, p_ts, p_t0 = pending
                 integrate(np_.asarray(p_states), p_ts, out,
                           _time.perf_counter() - p_t0)
+    if metrics is not None:
+        metrics.close()
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
     _maybe_eval(args)
@@ -426,6 +500,23 @@ def _run_keyframe_mode(args, vo, seq) -> int:
     from phovo_tpu.datasets.tum import prefetch
     from phovo_tpu.models.keyframe import KeyframeVisualOdometry
     from phovo_tpu.utils.trajectory import TrajectoryWriter
+
+    ignored = [
+        name for name, on in [
+            ("--chunk", args.chunk > 1),
+            ("--warm-start", args.warm_start),
+            ("--checkpoint", bool(args.checkpoint)),
+            ("--metrics", bool(args.metrics)),
+            ("--save-diff-dir", bool(args.save_diff_dir)),
+        ] if on
+    ]
+    if ignored:
+        print(
+            f"note: {', '.join(ignored)} not supported in keyframe mode "
+            "(tracking is per-frame against the current keyframe; the "
+            "back-end state lives in memory until finalize)",
+            file=sys.stderr,
+        )
 
     kvo = KeyframeVisualOdometry(
         vo,

@@ -43,6 +43,8 @@ def _load():
         ctypes.c_char_p, ctypes.c_int,
     ]
     lib.phovo_loader_close.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "phovo_loader_stop"):
+        lib.phovo_loader_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -92,6 +94,13 @@ class NativeTUMSequence:
             raise FileNotFoundError(err.value.decode() or "native loader open failed")
         self._len = self._lib.phovo_loader_len(self._handle)
         self._closed = False
+        # Serializes phovo_loader_next against close(): close() may run
+        # from atexit on the main thread while a prefetch thread is inside
+        # (or about to enter) next(); the native stop() unblocks a waiting
+        # consumer, and this lock keeps the handle alive until it has left.
+        import threading
+
+        self._lock = threading.Lock()
         # Worker threads must be joined before interpreter teardown (a live
         # std::thread at process exit calls std::terminate); __del__ alone is
         # not guaranteed to run early enough.
@@ -111,15 +120,18 @@ class NativeTUMSequence:
         W = ctypes.c_int()
         err = ctypes.create_string_buffer(512)
         while True:
-            rc = self._lib.phovo_loader_next(
-                self._handle,
-                intensity.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                MAX_PIXELS,
-                ctypes.byref(ts_r), ctypes.byref(ts_d),
-                ctypes.byref(H), ctypes.byref(W),
-                err, len(err),
-            )
+            with self._lock:
+                if self._closed:
+                    return
+                rc = self._lib.phovo_loader_next(
+                    self._handle,
+                    intensity.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    MAX_PIXELS,
+                    ctypes.byref(ts_r), ctypes.byref(ts_d),
+                    ctypes.byref(H), ctypes.byref(W),
+                    err, len(err),
+                )
             if rc == 1:
                 return
             if rc != 0:
@@ -150,15 +162,18 @@ class NativeTUMSequence:
         err = ctypes.create_string_buffer(512)
         m = 0
         for k in range(n):
-            rc = self._lib.phovo_loader_next(
-                self._handle,
-                intensity[k].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                depth[k].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                H * W,
-                ctypes.byref(ts_r), ctypes.byref(ts_d),
-                ctypes.byref(Ho), ctypes.byref(Wo),
-                err, len(err),
-            )
+            with self._lock:
+                if self._closed:
+                    break
+                rc = self._lib.phovo_loader_next(
+                    self._handle,
+                    intensity[k].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    depth[k].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    H * W,
+                    ctypes.byref(ts_r), ctypes.byref(ts_d),
+                    ctypes.byref(Ho), ctypes.byref(Wo),
+                    err, len(err),
+                )
             if rc == 1:
                 break
             if rc != 0:
@@ -172,9 +187,18 @@ class NativeTUMSequence:
         return intensity[:m], depth[:m], ts[:m]
 
     def close(self) -> None:
-        if not self._closed and self._handle:
-            self._lib.phovo_loader_close(self._handle)
-            self._closed = True
+        if self._closed or not self._handle:
+            return
+        # Unblock any consumer waiting inside phovo_loader_next FIRST
+        # (without the lock — the consumer holds it while blocked); it
+        # observes end-of-stream and releases the lock, after which the
+        # handle can be destroyed safely.
+        if hasattr(self._lib, "phovo_loader_stop"):
+            self._lib.phovo_loader_stop(self._handle)
+        with self._lock:
+            if not self._closed:
+                self._lib.phovo_loader_close(self._handle)
+                self._closed = True
 
     def __del__(self):  # pragma: no cover - best effort
         try:

@@ -68,24 +68,17 @@ def associate(
 ) -> list[tuple[IndexEntry, IndexEntry]]:
     """Greedy nearest-timestamp association (standard TUM associate.py
     algorithm): all |ta - tb| <= max_dt candidate pairs sorted by distance,
-    claimed greedily."""
-    candidates = []
-    for i, ea in enumerate(a):
-        for j, eb in enumerate(b):
-            dt = abs(ea.timestamp - eb.timestamp)
-            if dt <= max_dt:
-                candidates.append((dt, i, j))
-    candidates.sort()
-    used_a: set[int] = set()
-    used_b: set[int] = set()
-    pairs = []
-    for _, i, j in candidates:
-        if i not in used_a and j not in used_b:
-            used_a.add(i)
-            used_b.add(j)
-            pairs.append((i, j))
-    pairs.sort()
-    return [(a[i], b[j]) for i, j in pairs]
+    claimed greedily. Delegates to the shared vectorized implementation
+    (utils/trajectory.py associate_timestamps) — the naive double loop cost
+    tens of seconds of startup on real ~3000-frame sequences."""
+    from phovo_tpu.utils.trajectory import associate_timestamps
+
+    ia, ib = associate_timestamps(
+        np.asarray([e.timestamp for e in a], np.float64),
+        np.asarray([e.timestamp for e in b], np.float64),
+        max_dt,
+    )
+    return [(a[i], b[j]) for i, j in zip(ia, ib)]
 
 
 def _load_intensity(path: Path) -> np.ndarray:

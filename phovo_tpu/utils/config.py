@@ -140,6 +140,11 @@ class PhovoConfig:
             raise ValueError(
                 f"robust_loss={self.robust_loss!r}; expected one of {LOSSES}"
             )
+        if self.sampling not in ("nearest", "bilinear"):
+            raise ValueError(
+                f"sampling={self.sampling!r}; expected 'nearest' or "
+                "'bilinear'"
+            )
         if self.gradient_at not in ("warped", "source", "esm"):
             raise ValueError(
                 f"gradient_at={self.gradient_at!r}; expected 'warped', "

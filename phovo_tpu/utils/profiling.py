@@ -5,8 +5,10 @@ The reference's only instrumentation is cv::TickMeter wall-clock prints
 compile-time define (CPhotoconsistencyOdometryAnalytic.h:40,512-514). TPU
 equivalents provided here:
 
-  - `timer(...)` / `Stopwatch`: host wall-clock with device synchronization
-    (jax.block_until_ready) so measured intervals are real device time;
+  - `Stopwatch`: host wall-clock with device synchronization — stop(*arrays)
+    blocks on the arrays you pass, so measured intervals are real device
+    time; `timer(...)`: labeled wall-clock context manager (dispatch time
+    for pure jitted work — see its docstring);
   - `trace(...)`: context manager around jax.profiler for full XLA traces
     viewable in TensorBoard/Perfetto;
   - `MetricsLogger`: structured JSONL per-frame metrics (the replacement for
@@ -52,11 +54,18 @@ class Stopwatch:
 
 @contextlib.contextmanager
 def timer(label: str, *, sync: bool = True, out=print):
-    """with timer("align"): ... — prints '<label>: X ms' on exit."""
+    """with timer("align"): ... — prints '<label>: X ms' on exit.
+
+    CAVEAT: a context manager cannot see the arrays produced inside it, so
+    it cannot block on them — for PURE jitted work this measures dispatch
+    time, not device time (jax.effects_barrier only waits for computations
+    with side effects, e.g. jax.debug prints/callbacks). To time device
+    work, call jax.block_until_ready(result) inside the block, or use
+    Stopwatch.stop(*arrays), which blocks on the arrays you pass it."""
     t0 = time.perf_counter()
     yield
     if sync:
-        # Force completion of any outstanding async dispatches.
+        # Completes outstanding SIDE-EFFECTING dispatches only (see above).
         jax.effects_barrier()
     out(f"{label}: {(time.perf_counter() - t0) * 1e3:.3f} ms")
 

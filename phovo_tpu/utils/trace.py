@@ -79,6 +79,10 @@ def trace_alignment(
     dep0 = pyr.build_pyramid(sd, L, None)
     int1 = pyr.build_pyramid(ti, L, blur)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, scales)
+    esm = config.gradient_at == "esm"
+    if esm:
+        # ESM needs the SOURCE gradient pyramid too (models/analytic.py)
+        gx0, gy0 = pyr.build_gradient_pyramid(int0, scales)
     bi = backend == "biobjective"
     if bi:
         dep1 = pyr.build_pyramid(td, L, None)
@@ -91,6 +95,15 @@ def trace_alignment(
         else jnp.asarray(init_state, jnp.float32)
     )
     records: list[TraceRecord] = []
+    # robust_loss='tdist': replay the solvers' adaptive-scale carry
+    # (models/analytic.py): sigma flows coarse -> fine, with scale-only
+    # burn-in at the first active level
+    tdist = config.robust_loss == "tdist"
+    if tdist:
+        from phovo_tpu.ops.robust import TDIST_BURNIN, tdist_scale_update
+
+        sigma = jnp.float32(config.robust_delta)
+        first_active = True
     for level in range(L - 1, -1, -1):
         iters = config.max_iterations[level]
         if iters <= 0:
@@ -99,7 +112,7 @@ def trace_alignment(
         if bi:
             gain = jnp.mean(int1[level]) / jnp.mean(dep1[level])
 
-            def linearize(s, _l=level, _intr=intr_l, _gain=gain):
+            def linearize(s, *sigma, _l=level, _intr=intr_l, _gain=gain):
                 r, J, valid = biobjective_residual_jacobian(
                     int0[_l], dep0[_l], int1[_l], dep1[_l],
                     gx1[_l], gy1[_l], dgx1[_l], dgy1[_l],
@@ -109,38 +122,52 @@ def trace_alignment(
                     depth_gain=_gain,
                 )
                 return normal_equations(
-                    r, J, valid, config.robust_loss, config.robust_delta
+                    r, J, valid, config.robust_loss,
+                    sigma[0] if sigma else config.robust_delta,
                 )
 
         elif config.gradient_at == "warped":
             packed = fused_ops.pack_target(int1[level], gx1[level], gy1[level])
 
-            def linearize(s, _l=level, _intr=intr_l, _packed=packed):
+            def linearize(s, *sigma, _l=level, _intr=intr_l, _packed=packed):
                 return fused_ops.packed_normal_equations(
                     int0[_l], dep0[_l], _packed, s, _intr,
                     config.min_depth, config.max_depth, config.sampling,
-                    config.robust_loss, config.robust_delta,
+                    config.robust_loss,
+                    sigma[0] if sigma else config.robust_delta,
                 )
 
-        else:  # gradient_at='source' must replay the reference-shaped path
+        else:  # 'source'/'esm' replay the reference-shaped path
 
-            def linearize(s, _l=level, _intr=intr_l):
+            def linearize(s, *sigma, _l=level, _intr=intr_l):
                 from phovo_tpu.ops.residuals import photometric_residual_jacobian
 
                 r, J, valid = photometric_residual_jacobian(
                     int0[_l], dep0[_l], int1[_l], gx1[_l], gy1[_l], s, _intr,
                     min_depth=config.min_depth, max_depth=config.max_depth,
                     sampling=config.sampling, gradient_at=config.gradient_at,
+                    source_grad_x=gx0[_l] if esm else None,
+                    source_grad_y=gy0[_l] if esm else None,
                 )
                 return normal_equations(
-                    r, J, valid, config.robust_loss, config.robust_delta
+                    r, J, valid, config.robust_loss,
+                    sigma[0] if sigma else config.robust_delta,
                 )
 
         linearize = jax.jit(linearize)
         lam = config.lambda_steps[level]
         min_g = config.min_gradient_norms[level]
+        if tdist and first_active:
+            for _ in range(TDIST_BURNIN):
+                ne = linearize(state, sigma)
+                sigma = tdist_scale_update(ne.cost, ne.num_valid)
+            first_active = False
         for it in range(1, iters + 1):
-            ne = linearize(state)
+            if tdist:
+                ne = linearize(state, sigma)
+                sigma = tdist_scale_update(ne.cost, ne.num_valid)
+            else:
+                ne = linearize(state)
             step = solve6(ne.JtJ, ne.Jtr)
             ok = jnp.all(jnp.isfinite(step))
             state = jnp.where(ok, state - lam * step, state)
@@ -186,8 +213,9 @@ def save_iteration_diffs(
         tgt = tgt / 255.0
     paths = []
     for rec in records:
+        # src/tgt were normalized to [0, 1] above, so the diff is unit-range
         diff = alignment_diff(src, source_depth, tgt, rec.state, intr)
         p = out / f"level{rec.level}_iter{rec.iteration:03d}.png"
-        save_image(p, diff)
+        save_image(p, diff, unit_range=True)
         paths.append(str(p))
     return paths

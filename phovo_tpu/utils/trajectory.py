@@ -48,10 +48,11 @@ class TrajectoryWriter:
     """Streams TUM-format lines (crash keeps poses up to the crash, like the
     reference's line-per-frame flush)."""
 
-    def __init__(self, path: str | Path):
-        self._f = open(path, "w")
-        self._f.write("# estimated trajectory\n")
-        self._f.write("# timestamp tx ty tz qx qy qz qw\n")
+    def __init__(self, path: str | Path, append: bool = False):
+        self._f = open(path, "a" if append else "w")
+        if not append or self._f.tell() == 0:
+            self._f.write("# estimated trajectory\n")
+            self._f.write("# timestamp tx ty tz qx qy qz qw\n")
 
     def write(self, timestamp: float, T: np.ndarray) -> None:
         self._f.write(format_pose_line(timestamp, T) + "\n")
@@ -85,24 +86,41 @@ def read_trajectory(path: str | Path) -> Trajectory:
 def associate_timestamps(
     ta: np.ndarray, tb: np.ndarray, max_dt: float = 0.02
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy nearest-neighbor timestamp matching; returns index arrays."""
-    cands = []
-    for i, t in enumerate(ta):
-        j = int(np.argmin(np.abs(tb - t)))
-        dt = abs(tb[j] - t)
-        if dt <= max_dt:
-            cands.append((dt, i, j))
-    cands.sort()
-    used_a, used_b = set(), set()
+    """Greedy timestamp association, TUM associate.py semantics: ALL pairs
+    with |ta_i - tb_j| <= max_dt are candidates, sorted by distance and
+    claimed greedily (each index used once). Returns (ia, ib) sorted by ia.
+
+    Candidate generation is vectorized (sorted windows via searchsorted, so
+    ~O((N+M) log M + C) instead of the naive O(N*M) double loop); only the
+    greedy claim walks the C in-tolerance candidates in Python. A pure
+    nearest-neighbor-per-ta matching would DROP pairs the TUM tool keeps
+    (two ta stamps whose nearest tb collide, with another tb in tolerance).
+    """
+    ta = np.asarray(ta, np.float64)
+    tb = np.asarray(tb, np.float64)
+    order_b = np.argsort(tb, kind="stable")
+    tbs = tb[order_b]
+    lo = np.searchsorted(tbs, ta - max_dt, side="left")
+    hi = np.searchsorted(tbs, ta + max_dt, side="right")
+    counts = hi - lo
+    if int(counts.sum()) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    i_idx = np.repeat(np.arange(len(ta)), counts)
+    starts = np.repeat(lo, counts)
+    offs = np.arange(len(i_idx)) - np.repeat(np.cumsum(counts) - counts, counts)
+    j_idx = order_b[starts + offs]
+    dt = np.abs(ta[i_idx] - tb[j_idx])
+    used_a = np.zeros(len(ta), bool)
+    used_b = np.zeros(len(tb), bool)
     ia, ib = [], []
-    for _, i, j in cands:
-        if i not in used_a and j not in used_b:
-            used_a.add(i)
-            used_b.add(j)
+    for k in np.lexsort((j_idx, i_idx, dt)):
+        i, j = i_idx[k], j_idx[k]
+        if not used_a[i] and not used_b[j]:
+            used_a[i] = used_b[j] = True
             ia.append(i)
             ib.append(j)
     order = np.argsort(ia)
-    return np.asarray(ia)[order], np.asarray(ib)[order]
+    return np.asarray(ia, np.int64)[order], np.asarray(ib, np.int64)[order]
 
 
 def horn_align(model: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -40,13 +40,23 @@ def alignment_diff(
     return np.abs(np.asarray(target_intensity, dtype=np.float32) - warped)
 
 
-def save_image(path: str | Path, img: np.ndarray) -> None:
-    """Write a grayscale image (float arrays are clipped to [0, 255])."""
+def save_image(
+    path: str | Path, img: np.ndarray, unit_range: bool | None = None
+) -> None:
+    """Write a grayscale image (float arrays are clipped to [0, 255]).
+
+    unit_range says whether a float input is in [0, 1] (scaled by 255) or
+    already in [0, 255]. Pass it explicitly when you know the convention: a
+    data-range guess inverts the "near-black means converged" oracle for
+    well-converged u8-range diff images (every |diff| <= 1.5 gray levels
+    would be mistaken for unit range and rendered at full brightness)."""
     import cv2
 
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
-        if arr.max() <= 1.5:  # assume [0, 1] intensity
+        if unit_range is None:
+            unit_range = arr.max() <= 1.5  # last-resort guess
+        if unit_range:
             arr = arr * 255.0
         arr = np.clip(arr, 0, 255).astype(np.uint8)
     cv2.imwrite(str(path), arr)

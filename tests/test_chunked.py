@@ -39,3 +39,33 @@ def test_chunk_requires_analytic(tum_dir, tmp_path):
         "--chunk", "4", "--backend", "ceres", "--quiet",
     ])
     assert rc == 1
+
+
+def test_chunked_checkpoint_resume(tum_dir, tmp_path):
+    """Interrupt a chunked run with --max-frames, resume from the
+    checkpoint, and get the identical trajectory as one uninterrupted run
+    (regression: --checkpoint/--resume were silently ignored with --chunk)."""
+    from phovo_tpu.apps.phovo_vo import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "num_levels: 2\nmax_iterations: [8, 8]\n"
+        "min_gradient_norms: [1.0e-9, 1.0e-9]\nsampling: bilinear\n"
+    )
+    full_out = tmp_path / "full.txt"
+    part_out = tmp_path / "part.txt"
+    ckpt = tmp_path / "ckpt.json"
+    common = ["--config", str(cfg), "--dataset", str(tum_dir),
+              "--intrinsics", "128,128,63.5,47.5", "--quiet", "--chunk", "2"]
+    assert main(common + ["--output", str(full_out)]) == 0
+    # interrupted run: 3 pairs, then resume for the rest
+    assert main(common + ["--output", str(part_out),
+                          "--checkpoint", str(ckpt), "--max-frames", "3"]) == 0
+    assert ckpt.is_file()
+    assert main(common + ["--output", str(part_out),
+                          "--checkpoint", str(ckpt), "--resume"]) == 0
+    a = read_trajectory(full_out)
+    b = read_trajectory(part_out)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+    np.testing.assert_allclose(a.quaternions, b.quaternions, atol=1e-5)

@@ -107,3 +107,31 @@ def test_native_loader_vo_cli(tum_dir, tmp_path):
     est = read_trajectory(out)
     gt = read_trajectory(tum_dir / "groundtruth.txt")
     assert absolute_trajectory_error(est, gt)["rmse"] < 0.01
+
+
+def test_close_while_consumer_blocked(tum_dir):
+    """close() from another thread must cleanly unblock a consumer waiting
+    inside phovo_loader_next (regression: stop() never notified cv_consume
+    and the loader was deleted under a blocked thread — UB at exit)."""
+    import threading
+    import time
+
+    nat = native_loader.NativeTUMSequence(tum_dir, pairing="lockstep")
+    consumed = []
+    done = threading.Event()
+
+    def consume():
+        for f in nat:
+            consumed.append(f.timestamp)
+            time.sleep(0.01)
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.03)  # let it get into the stream
+    nat.close()  # stop + destroy while the consumer may be mid-next()
+    assert done.wait(timeout=5.0), "consumer thread failed to unblock"
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+    # a second close must be a no-op
+    nat.close()

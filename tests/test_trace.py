@@ -93,3 +93,37 @@ def test_trace_honors_gradient_at_source(intr, small_pair):
     np.testing.assert_allclose(
         records[-1].state, np.asarray(res.state), atol=1e-5
     )
+
+
+def test_trace_esm_matches_solver(intr, small_pair):
+    """gradient_at: 'esm' builds the source gradient pyramid in the replay
+    (regression: the trace crashed with 'esm needs source_grad_x/y')."""
+    from phovo_tpu.models.analytic import align_analytic
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = dataclasses.replace(CFG, gradient_at="esm")
+    records = trace_alignment(I0, D0, I1, D1, intr, cfg, backend="analytic")
+    res = align_analytic(
+        jnp.asarray(I0), jnp.asarray(D0), jnp.asarray(I1), jnp.asarray(D1),
+        intr, jnp.zeros(6, jnp.float32), cfg, use_fused=False,
+    )
+    np.testing.assert_allclose(
+        records[-1].state, np.asarray(res.state), atol=1e-5
+    )
+
+
+def test_trace_tdist_matches_solver(intr, small_pair):
+    """robust_loss: 'tdist' replays the solver's adaptive-scale carry
+    (burn-in at the first active level + per-iteration fixed-point step)."""
+    from phovo_tpu.models.analytic import align_analytic
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = dataclasses.replace(CFG, robust_loss="tdist", robust_delta=0.1)
+    records = trace_alignment(I0, D0, I1, D1, intr, cfg, backend="analytic")
+    res = align_analytic(
+        jnp.asarray(I0), jnp.asarray(D0), jnp.asarray(I1), jnp.asarray(D1),
+        intr, jnp.zeros(6, jnp.float32), cfg, use_fused=False,
+    )
+    np.testing.assert_allclose(
+        records[-1].state, np.asarray(res.state), atol=1e-5
+    )

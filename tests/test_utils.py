@@ -136,3 +136,48 @@ def test_phovo_eval_cli(tmp_path, capsys):
     assert eval_main([str(gt_p), str(est_p), "--mode", "ate"]) == 0
     assert "ATE over 20" in capsys.readouterr().out
     assert eval_main([str(gt_p), str(tmp_path / "missing.txt")]) == 1
+
+
+def test_associate_timestamps_full_candidate_semantics():
+    """TUM associate.py keeps pairs a nearest-neighbor-per-stamp matcher
+    drops: both est stamps' nearest gt is the same entry, but a second gt
+    within tolerance exists (regression — the old matcher dropped est 0.010
+    entirely)."""
+    import numpy as np
+
+    from phovo_tpu.utils.trajectory import associate_timestamps
+
+    ia, ib = associate_timestamps(
+        np.asarray([0.000, 0.010]), np.asarray([0.005, 0.019]), max_dt=0.02
+    )
+    assert ia.tolist() == [0, 1]
+    assert ib.tolist() == [0, 1]
+
+
+def test_associate_timestamps_matches_bruteforce():
+    """The vectorized windowed matcher reproduces the naive all-pairs greedy
+    algorithm exactly on random stamp sets."""
+    import numpy as np
+
+    from phovo_tpu.utils.trajectory import associate_timestamps
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        ta = np.sort(rng.uniform(0, 10, rng.integers(1, 40)))
+        tb = np.sort(rng.uniform(0, 10, rng.integers(1, 40)))
+        max_dt = float(rng.uniform(0.05, 0.5))
+        cands = sorted(
+            (abs(x - y), i, j)
+            for i, x in enumerate(ta)
+            for j, y in enumerate(tb)
+            if abs(x - y) <= max_dt
+        )
+        ua, ub, ref = set(), set(), []
+        for _, i, j in cands:
+            if i not in ua and j not in ub:
+                ua.add(i)
+                ub.add(j)
+                ref.append((i, j))
+        ref.sort()
+        ia, ib = associate_timestamps(ta, tb, max_dt)
+        assert list(zip(ia.tolist(), ib.tolist())) == ref, trial
