@@ -90,10 +90,19 @@ def align_autodiff(
                     min_depth=config.min_depth, max_depth=config.max_depth,
                 )
 
+            from phovo_tpu.ops.residuals import residual_valid_count
+
+            def nv_fn(s, _lvl=level, _intr=intr_l):
+                return residual_valid_count(
+                    s, dep0[_lvl], int1[_lvl], _intr,
+                    min_depth=config.min_depth, max_depth=config.max_depth,
+                )
+
             linearize = residual_to_linearizer(
                 lambda s, _fn=r_fn: (_fn(s), jax.jacfwd(_fn)(s)),
                 robust_loss=config.robust_loss,
                 robust_delta=config.robust_delta,
+                num_valid_fn=nv_fn,
             )
         elif fused_ok and H <= fused_ops.FUSED_MAX_H and config.max_iterations[level] > 0:
             # whole trust-region level (all LM iterations, radius logic and
@@ -141,6 +150,8 @@ def align_autodiff(
 class PhotoconsistencyOdometryAutodiff(PhotoconsistencyOdometryBase):
     """Object API over `align_autodiff` (reference class:
     CPhotoconsistencyOdometryCeres, …Ceres.h:60)."""
+
+    COST_IS_HALF_SUM_SQ = True  # TRLevelResult cost = 0.5 * sum r^2 (Ceres)
 
     def __init__(self, config: PhovoConfig | None = None, jacobian_mode: str = "linearizer"):
         super().__init__(config)

@@ -82,6 +82,12 @@ def _as_float_depth(depth) -> np.ndarray:
 class PhotoconsistencyOdometryBase:
     """Host-side stateful wrapper over the functional aligners."""
 
+    # AlignmentResult.cost convention: GN backends report sum r^2; the
+    # trust-region backend overrides this (0.5 * sum r^2, the Ceres
+    # convention). Consumers comparing costs across backends (e.g. the
+    # keyframe loop-closure gate) must normalize by it.
+    COST_IS_HALF_SUM_SQ = False
+
     def __init__(self, config: PhovoConfig | None = None):
         self.config = config or PhovoConfig()
         self.intrinsics: Intrinsics | None = None

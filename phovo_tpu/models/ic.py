@@ -161,7 +161,10 @@ def align_sequence_chunk_ic(
     if depth_scale is not None and depths.dtype != jnp.float32:
         depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
     intensities = device_unit_intensity(intensities)
-    I = jnp.concatenate([carry_intensity.astype(jnp.float32)[None], intensities])
+    # the carry may arrive in storage dtype too (u8) — route it through
+    # the same unit conversion as the chunk frames
+    carry_f = device_unit_intensity(carry_intensity).astype(jnp.float32)
+    I = jnp.concatenate([carry_f[None], intensities])
     D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
     results = align_sequence_ic(I, D, intr, config, use_fused, warm_start)
     return results, I[-1], D[-1]

@@ -233,6 +233,12 @@ class KeyframeVisualOdometry:
             )
             cost, nvalid, lvl = self._finest_stats(res)
             npix = new_kf.intensity.size / 4.0**lvl  # pixels at that level
+            # normalize the backend's cost convention: the trust-region
+            # (ceres) backend reports 0.5 * sum r^2 (TRLevelResult), the GN
+            # backends sum r^2 — without this the gate is sqrt(2) looser
+            # for the ceres backend
+            if getattr(self.odometry, "COST_IS_HALF_SUM_SQ", False):
+                cost = 2.0 * cost
             mean_res = np.sqrt(cost / max(nvalid, 1.0))
             if (
                 nvalid / npix < self.loop_min_valid_fraction

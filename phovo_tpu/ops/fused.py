@@ -15,7 +15,9 @@ iterations per frame). Two re-designs fix this:
    three scalar gathers (the per-index overhead amortizes over the row) —
    measured 3-5x faster than separate gathers.
 
-2. `fused_normal_equations_pallas` (Pallas, coarse levels, H <= 128): the
+2. `fused_normal_equations_pallas` (Pallas, every level with
+   H <= FUSED_MAX_H = 512 — i.e. all of VGA and below; see the banded
+   sampling caveat at that constant): the
    ENTIRE linearization is one kernel and sampling becomes MXU matmuls, no
    gather op at all:
      - backproject/transform/project + the 2x6 Jacobian chain on the VPU;
@@ -44,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
+from phovo_tpu.ops.robust import TDIST_MIN_SCALE
 from phovo_tpu.ops.robust import sqrt_weight as robust_sqrt_weight
 from phovo_tpu.ops.residuals import (
     NormalEquations,
@@ -757,7 +760,7 @@ def _run_gn_loop(
             # sigma^2 <- sum w r^2 / n (ops/robust.py tdist_scale_update,
             # inlined on the scalar unit)
             var = cost / jnp.maximum(nvalid, 1.0)
-            sigma = jnp.maximum(jnp.sqrt(var), jnp.float32(1e-4))
+            sigma = jnp.maximum(jnp.sqrt(var), jnp.float32(TDIST_MIN_SCALE))
             out = out + (sigma,)
         return out
 
@@ -767,7 +770,7 @@ def _run_gn_loop(
         for _ in range(tdist_burnin):
             g = linearize(*s_init, sigma0)
             var = g[6, 6] / jnp.maximum(g[7, 7], 1.0)
-            sigma0 = jnp.maximum(jnp.sqrt(var), jnp.float32(1e-4))
+            sigma0 = jnp.maximum(jnp.sqrt(var), jnp.float32(TDIST_MIN_SCALE))
     init = s_init + (
         jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0),
     ) + ((sigma0,) if tdist else ())

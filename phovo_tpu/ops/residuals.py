@@ -94,12 +94,16 @@ def warp_and_jacobian(
     min_depth: float,
     max_depth: float,
     row_offset=0.0,
+    return_rigid: bool = False,
 ):
     """Shared geometry for all residual kernels.
 
     Returns (col, row, tp, J_pix, valid_src) where J_pix is the (..., 2, 6)
     Jacobian of the projected pixel coordinates w.r.t. the state.
     row_offset: see ops/camera.py backproject (row-sharded execution).
+    return_rigid appends the intermediate (..., 3, 6) rigid-transform
+    Jacobian (the bi-objective depth channel needs its z-row — returning it
+    avoids re-deriving backproject + rigid_jacobian at the call site).
     """
     T = se3.pose_matrix(state)
     pts = backproject(source_depth, intr, row_offset)
@@ -115,6 +119,8 @@ def warp_and_jacobian(
         "...ik,...kj->...ij", J_proj, J_rt, precision=jax.lax.Precision.HIGHEST
     )  # (..., 2, 6)
     valid_src = (source_depth > min_depth) & (source_depth < max_depth) & (tz > 0)
+    if return_rigid:
+        return col, row, tp_safe, J_pix, valid_src, J_rt
     return col, row, tp_safe, J_pix, valid_src
 
 
@@ -202,8 +208,8 @@ def biobjective_residual_jacobian(
     """
     if depth_gain is None:
         depth_gain = jnp.mean(target_intensity) / jnp.mean(target_depth)
-    col, row, tp, J_pix, valid_src = warp_and_jacobian(
-        source_depth, state, intr, min_depth, max_depth
+    col, row, tp, J_pix, valid_src, J_rt = warp_and_jacobian(
+        source_depth, state, intr, min_depth, max_depth, return_rigid=True
     )
     sample = sample_bilinear if sampling == "bilinear" else sample_nearest
     tgt_i, inb = sample(target_intensity, col, row)
@@ -229,7 +235,7 @@ def biobjective_residual_jacobian(
     # docstring note 3 for the residual pairing).
     tz = tp[..., 2]
     r_dep = jnp.where(valid, depth_gain * (tgt_d - tz), 0.0)
-    J_rt_z = rigid_jacobian(backproject(source_depth, intr), state)[..., 2, :]
+    J_rt_z = J_rt[..., 2, :]
     grad_d = jnp.stack([dgx, dgy], axis=-1)
     J_dep = depth_gain * (
         jnp.einsum("...k,...kj->...j", grad_d, J_pix, precision=jax.lax.Precision.HIGHEST)
@@ -296,6 +302,17 @@ def residual_vector(
     156-269 + third_party/jet_extras.h:73-110), with no custom chain-rule
     plumbing needed.
     """
+    tgt, valid = _warped_target_and_valid(
+        state, source_depth, target_intensity, intr, min_depth, max_depth
+    )
+    r = jnp.where(valid, tgt - source_intensity, 0.0)
+    return r.reshape(-1)
+
+
+def _warped_target_and_valid(
+    state, source_depth, target_intensity, intr, min_depth, max_depth
+):
+    """Shared warp + validity predicate of the autodiff residual path."""
     T = se3.pose_matrix(state)
     pts = backproject(source_depth, intr)
     tp = transform_points(pts, T)
@@ -305,5 +322,16 @@ def residual_vector(
     row = tp[..., 1] * intr.fy / safe_z + intr.cy
     tgt, inb = sample_bilinear(target_intensity, col, row)
     valid = (source_depth > min_depth) & (source_depth < max_depth) & (tz > 0) & inb
-    r = jnp.where(valid, tgt - source_intensity, 0.0)
-    return r.reshape(-1)
+    return tgt, valid
+
+
+def residual_valid_count(
+    state, source_depth, target_intensity, intr,
+    min_depth: float = 0.3, max_depth: float = 5.0,
+) -> jax.Array:
+    """Number of pixels contributing to residual_vector at this state (the
+    num_valid diagnostic the jacfwd linearizer path reports)."""
+    _, valid = _warped_target_and_valid(
+        state, source_depth, target_intensity, intr, min_depth, max_depth
+    )
+    return jnp.sum(valid.astype(jnp.float32))

@@ -255,7 +255,10 @@ def _lm_iterate(build, states0, points0, iterations, damping, fixed_first):
                                     fixed_first)
         blocks = build(st_s, st_p)
         cost = blocks[-1]
-        ok = cost <= best_cost * (1.0 + 1e-6)
+        # exact comparison (equal-cost steps still accepted, so plateaus
+        # keep moving): a relative tolerance here would let best_s drift to
+        # a strictly-worse iterate than the reported best_cost
+        ok = cost <= best_cost
         best_s2 = jnp.where(ok, st_s, best_s)
         best_p2 = jnp.where(ok, st_p, best_p)
         blocks2 = jax.tree.map(

@@ -63,38 +63,44 @@ def _accumulate_shard(states, ei, ej, z, w, M, vma_axes=()):
 
     Returns H (M, M, 6, 6) block matrix and g (M, 6). Edges marked with
     i == -1 (padding) contribute zero.
+
+    All K edges linearize in parallel (vmap over the tiny per-edge jacfwd)
+    and land in H/g via four batched scatter-adds — duplicate (i, j) pairs
+    accumulate correctly. The earlier form was a serial lax.scan carrying
+    the dense (M, M, 6, 6) matrix through K sequential steps: with loop
+    closures that is thousands of device steps each rewriting M^2 * 36
+    floats; this form is O(1) device steps (same pattern as
+    bundle_adjustment._accumulate_shard).
     """
-
-    def per_edge(carry, edge):
-        H, g = carry
-        i, j, zk, wk = edge
-        i = i.astype(jnp.int32)
-        j = j.astype(jnp.int32)
-        valid = i >= 0
-        iw = jnp.where(valid, i, 0)
-        jw = jnp.where(valid, j, 0)
-        r, Ji, Jj = _edge_residual_and_jacobians(states[iw], states[jw], zk, wk)
-        zero = jnp.where(valid, 1.0, 0.0)
-        r, Ji, Jj = r * zero, Ji * zero, Jj * zero
-        H = H.at[iw, iw].add(Ji.T @ Ji)
-        H = H.at[iw, jw].add(Ji.T @ Jj)
-        H = H.at[jw, iw].add(Jj.T @ Ji)
-        H = H.at[jw, jw].add(Jj.T @ Jj)
-        g = g.at[iw].add(Ji.T @ r)
-        g = g.at[jw].add(Jj.T @ r)
-        return (H, g), r @ r
-
+    valid = ei >= 0
+    iw = jnp.where(valid, ei, 0).astype(jnp.int32)
+    jw = jnp.where(valid, ej, 0).astype(jnp.int32)
+    r, Ji, Jj = jax.vmap(_edge_residual_and_jacobians)(
+        states[iw], states[jw], z, w
+    )
+    zero = valid.astype(jnp.float32)
+    r = r * zero[:, None]
+    Ji = Ji * zero[:, None, None]
+    Jj = Jj * zero[:, None, None]
+    hp = jax.lax.Precision.HIGHEST
+    JiTJi = jnp.einsum("kab,kac->kbc", Ji, Ji, precision=hp)
+    JiTJj = jnp.einsum("kab,kac->kbc", Ji, Jj, precision=hp)
+    JjTJj = jnp.einsum("kab,kac->kbc", Jj, Jj, precision=hp)
+    gi = jnp.einsum("kab,ka->kb", Ji, r, precision=hp)
+    gj = jnp.einsum("kab,ka->kb", Jj, r, precision=hp)
     H0 = jnp.zeros((M, M, 6, 6), jnp.float32)
     g0 = jnp.zeros((M, 6), jnp.float32)
     if vma_axes:
-        # Under shard_map the scanned edge arrays vary per device, so the
-        # carry must be marked device-varying too (JAX vma typing rule).
+        # Under shard_map the edge arrays vary per device, so the scatter
+        # targets must be marked device-varying too (JAX vma typing rule).
         H0 = jax.lax.pcast(H0, vma_axes, to="varying")
         g0 = jax.lax.pcast(g0, vma_axes, to="varying")
-    (H, g), costs = jax.lax.scan(
-        per_edge, (H0, g0), (ei, ej, z, w)
-    )
-    return H, g, jnp.sum(costs)
+    H = H0.at[iw, iw].add(JiTJi)
+    H = H.at[iw, jw].add(JiTJj)
+    H = H.at[jw, iw].add(jnp.swapaxes(JiTJj, -1, -2))
+    H = H.at[jw, jw].add(JjTJj)
+    g = g0.at[iw].add(gi).at[jw].add(gj)
+    return H, g, jnp.sum(r * r)
 
 
 def optimize_pose_graph(

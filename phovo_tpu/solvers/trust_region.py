@@ -53,10 +53,16 @@ def residual_to_linearizer(
     residual_and_jacobian: Callable[[jax.Array], tuple[jax.Array, jax.Array]],
     robust_loss: str = "none",
     robust_delta: float = 0.1,
+    num_valid_fn: Callable[[jax.Array], jax.Array] | None = None,
 ) -> Callable[[jax.Array], NormalEquations]:
     """Adapt an (r, J)-producing function (e.g. jacfwd of a pure residual)
     to the NormalEquations interface. With a robust loss, rows are IRLS
-    reweighted by sqrt(w(r)) (ops/robust.py)."""
+    reweighted by sqrt(w(r)) (ops/robust.py).
+
+    num_valid_fn(state) supplies the valid-pixel diagnostic (the residual
+    vector alone cannot distinguish invalid rows from perfectly-aligned
+    ones); without it num_valid reports 0, which downstream consumers like
+    the keyframe overlap gate would misread as zero overlap."""
 
     def linearize(state) -> NormalEquations:
         r, J = residual_and_jacobian(state)
@@ -72,7 +78,11 @@ def residual_to_linearizer(
         )
         Jtr = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
         cost = jnp.dot(r, r)
-        return NormalEquations(JtJ, Jtr, cost, jnp.float32(0.0))
+        nv = (
+            jnp.float32(0.0) if num_valid_fn is None
+            else jnp.asarray(num_valid_fn(state), jnp.float32)
+        )
+        return NormalEquations(JtJ, Jtr, cost, nv)
 
     return linearize
 

@@ -69,3 +69,41 @@ def test_chunked_checkpoint_resume(tum_dir, tmp_path):
     assert len(a) == len(b)
     np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
     np.testing.assert_allclose(a.quaternions, b.quaternions, atol=1e-5)
+
+
+def test_chunk_carry_accepts_uint8():
+    """The carry frame may arrive in storage dtype like the chunk frames
+    (regression: a uint8 carry entered at 0..255 against 0..1 frames and
+    the chunk's first pair aligned garbage)."""
+    import jax.numpy as jnp
+
+    from phovo_tpu.models.analytic import align_sequence_chunk
+    from phovo_tpu.ops.camera import Intrinsics
+    from phovo_tpu.utils.config import PhovoConfig
+    from phovo_tpu.utils.synthetic import make_pair
+
+    intr = Intrinsics(
+        np.float32(128.0), np.float32(128.0), np.float32(63.5), np.float32(47.5)
+    )
+    I0, D0, I1, D1, gt = make_pair(intr, shape=(96, 128))
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(8, 12), lambda_steps=(1.0, 1.0),
+        min_gradient_norms=(1e-10,) * 2, sampling="bilinear",
+    )
+    u8 = lambda im: (np.asarray(im) * 255).astype(np.uint8)
+    res_u8, _, _ = align_sequence_chunk(
+        jnp.asarray(u8(I0)), jnp.asarray(D0, jnp.float32),
+        jnp.asarray(u8(I1))[None], jnp.asarray(D1, jnp.float32)[None],
+        intr, cfg, False, False, None,
+    )
+    res_f, _, _ = align_sequence_chunk(
+        jnp.asarray(I0, jnp.float32), jnp.asarray(D0, jnp.float32),
+        jnp.asarray(I1, jnp.float32)[None], jnp.asarray(D1, jnp.float32)[None],
+        intr, cfg, False, False, None,
+    )
+    # u8 quantization costs a little accuracy but the pose must be the same
+    np.testing.assert_allclose(
+        np.asarray(res_u8.state[0]), np.asarray(res_f.state[0]), atol=2e-3
+    )
+    assert np.abs(np.asarray(res_u8.state[0]) - np.asarray(gt)).max() < 0.05
