@@ -63,6 +63,21 @@ def compose(A: jax.Array, B: jax.Array) -> jax.Array:
     return A @ B
 
 
+def integrate_trajectory(states: jax.Array) -> jax.Array:
+    """Device-side global-pose integration of per-pair relative states.
+
+    states: (B, 6) relative states (pair k aligns frame k -> k+1, the
+    align_sequence output). Returns (B, 4, 4) with
+    pose_k = inv(Rt_0) @ inv(Rt_1) @ ... @ inv(Rt_k) — exactly the VO app's
+    running integration pose <- pose @ Rt^-1 from identity
+    (PhotoconsistencyVisualOdometry.cpp:233-234), but computed as an
+    O(log B)-depth prefix product with lax.associative_scan (matrix
+    composition is associative) instead of a host loop.
+    """
+    M = inverse(pose_matrix(states))
+    return jax.lax.associative_scan(jnp.matmul, M)
+
+
 def rotation_to_quaternion(R: jax.Array) -> jax.Array:
     """3x3 rotation -> unit quaternion [qx, qy, qz, qw].
 

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from phovo_tpu.models.analytic import align_analytic
+from phovo_tpu.models.analytic import align_analytic, align_sequence
+from phovo_tpu.ops import se3
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.parallel.mesh import DATA_AXIS
 from phovo_tpu.utils.config import PhovoConfig
@@ -66,3 +67,59 @@ def make_data_parallel_aligner(mesh: Mesh, config: PhovoConfig, use_fused: bool 
         return align_batch(si, sd, ti, td, intr, init_states, config, use_fused)
 
     return align
+
+
+@functools.partial(jax.jit, static_argnames=("config", "use_fused", "warm_start"))
+def align_sequences(
+    intensities: jax.Array,  # (S, T, H, W) — S independent camera streams
+    depths: jax.Array,  # (S, T, H, W)
+    intr: Intrinsics,  # scalars (shared rig) or (S,) vectors (per camera)
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+):
+    """Align S independent frame sequences in one device program.
+
+    Each sequence runs `align_sequence` (lax.scan over its T-1 consecutive
+    pairs, models/analytic.py); vmap lifts that over the sequence axis, so
+    the per-pair normal-equation work is batched across streams at every
+    scan step. Returns (AlignmentResult with leading dims (S, T-1),
+    global poses (S, T-1, 4, 4)) — poses integrated on device with the
+    O(log T) associative-scan prefix product (ops/se3.py
+    integrate_trajectory), replacing the reference VO app's host-side
+    running pose ∘= Rt⁻¹ loop (PhotoconsistencyVisualOdometry.cpp:233-234).
+    """
+    in_axes_intr = Intrinsics(*(0 if jnp.ndim(v) > 0 else None for v in intr))
+    res = jax.vmap(
+        lambda I, D, it: align_sequence(I, D, it, config, use_fused, warm_start),
+        in_axes=(0, 0, in_axes_intr),
+    )(intensities, depths, intr)
+    poses = jax.vmap(se3.integrate_trajectory)(res.state)
+    return res, poses
+
+
+def make_multi_sequence_server(
+    mesh: Mesh,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+):
+    """Multi-camera serving entry: S camera streams sharded over the mesh
+    'data' axis, one alignment scan per stream, zero cross-device
+    communication (each stream lives on one device). This is the production
+    "many cameras per chip/pod" deployment shape: with S = k * n_data
+    streams, every device runs k independent VO scans in parallel.
+
+    Returns serve(intensities (S,T,H,W), depths, intr) ->
+    (AlignmentResult (S, T-1, ...), global poses (S, T-1, 4, 4)).
+    S must be divisible by the data-axis size.
+    """
+    seq_sharded = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+    @functools.partial(jax.jit, in_shardings=(seq_sharded, seq_sharded, None))
+    def serve(intensities, depths, intr):
+        return align_sequences(
+            intensities, depths, intr, config, use_fused, warm_start
+        )
+
+    return serve

@@ -154,3 +154,34 @@ def test_pose_graph_sharded_matches_single_device():
     states_8, cost_8 = optimize_pose_graph(graph, mesh=mesh, iterations=5)
     np.testing.assert_allclose(np.asarray(states_8), np.asarray(states_1), atol=1e-4)
     np.testing.assert_allclose(float(cost_8), float(cost_1), rtol=1e-4, atol=1e-6)
+
+
+def test_multi_sequence_server_matches_serial(intr, small_pair):
+    from phovo_tpu.models.analytic import align_sequence
+    from phovo_tpu.parallel.batch import make_multi_sequence_server
+
+    I0, D0, I1, D1, _ = small_pair
+    # T=3 frames per stream: forward then back to the start
+    I = jnp.stack([jnp.asarray(I0), jnp.asarray(I1), jnp.asarray(I0)])
+    D = jnp.stack([jnp.asarray(D0), jnp.asarray(D1), jnp.asarray(D0)])
+    S = 4
+    Is = jnp.broadcast_to(I, (S,) + I.shape)
+    Ds = jnp.broadcast_to(D, (S,) + D.shape)
+
+    mesh = make_mesh(4, pixel_parallel=1)
+    serve = make_multi_sequence_server(mesh, CFG, use_fused=False)
+    res, poses = serve(Is, Ds, intr)
+    assert res.state.shape == (S, 2, 6)
+    assert poses.shape == (S, 2, 4, 4)
+
+    serial = align_sequence(I, D, intr, CFG, use_fused=False)
+    for s in range(S):
+        np.testing.assert_allclose(
+            np.asarray(res.state[s]), np.asarray(serial.state), atol=1e-5
+        )
+    # device pose integration == host pose <- pose @ Rt^-1 loop
+    pose = np.eye(4)
+    for k in range(2):
+        Rt = np.asarray(se3.pose_matrix(serial.state[k]), dtype=np.float64)
+        pose = pose @ np.linalg.inv(Rt)
+        np.testing.assert_allclose(np.asarray(poses[0, k]), pose, atol=1e-4)

@@ -85,3 +85,13 @@ def test_batched_pose_matrix():
         np.testing.assert_allclose(
             np.asarray(T_batch[i]), np.asarray(se3.pose_matrix(s)), atol=1e-6
         )
+
+
+def test_integrate_trajectory_matches_host_loop():
+    states = jnp.asarray(np.stack(STATES))
+    poses = se3.integrate_trajectory(states)
+    # reference VO app integration: pose <- pose @ Rt^-1 from identity
+    pose = np.eye(4)
+    for k, s in enumerate(STATES):
+        pose = pose @ np.linalg.inv(np.asarray(se3.pose_matrix(s)))
+        np.testing.assert_allclose(np.asarray(poses[k]), pose, atol=1e-5)
