@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--batch-sizes", default="1,2,4,8,16",
                    help="single-device batch sweep (second mode)")
     p.add_argument("--skip-batch-sweep", action="store_true")
+    p.add_argument("--streams", default="1,2,4,8",
+                   help="multi-sequence serving sweep: streams per dispatch")
+    p.add_argument("--frames-per-stream", type=int, default=16)
+    p.add_argument("--skip-serve-sweep", action="store_true")
     return p.parse_args()
 
 
@@ -137,6 +141,41 @@ def main() -> int:
             print(json.dumps({
                 "mode": "batch_sweep", "devices": 1, "batch": B,
                 "pairs_per_s": round(B / dt, 2),
+                "platform": jax.devices()[0].platform,
+            }))
+
+    # --- multi-sequence serving sweep ---------------------------------------
+    # The production "many cameras per chip" shape: S streams of T frames per
+    # dispatch (parallel/batch.py make_multi_sequence_server). Throughput is
+    # aligned pairs/s = S*(T-1)/dispatch; each stream also gets its global
+    # trajectory integrated on device.
+    if not args.skip_serve_sweep:
+        from phovo_tpu.parallel.batch import make_multi_sequence_server
+
+        T = args.frames_per_stream
+        seq_I = jnp.stack(
+            [jnp.asarray(I0 if k % 2 == 0 else I1) for k in range(T)]
+        )
+        seq_D = jnp.stack(
+            [jnp.asarray(D0 if k % 2 == 0 else D1) for k in range(T)]
+        )
+        mesh = make_mesh(1)
+        serve = make_multi_sequence_server(mesh, cfg, use_fused=True)
+        for S in (int(x) for x in args.streams.split(",")):
+            Is = jnp.asarray(np.broadcast_to(seq_I, (S, T, H, W)).copy())
+            Ds = jnp.asarray(np.broadcast_to(seq_D, (S, T, H, W)).copy())
+            _, poses = serve(Is, Ds, intr)
+            jax.block_until_ready(poses)
+            t0 = time.perf_counter()
+            for _ in range(args.repeats):
+                _, poses = serve(Is, Ds, intr)
+            jax.block_until_ready(poses)
+            dt = (time.perf_counter() - t0) / args.repeats
+            pairs = S * (T - 1)
+            print(json.dumps({
+                "mode": "serve_sweep", "streams": S, "frames_per_stream": T,
+                "pairs_per_s": round(pairs / dt, 2),
+                "per_stream_fps": round((T - 1) / dt, 2),
                 "platform": jax.devices()[0].platform,
             }))
     return 0

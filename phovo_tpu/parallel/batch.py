@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from phovo_tpu.models.analytic import align_analytic, align_sequence
+from phovo_tpu.models.analytic import (
+    align_analytic,
+    align_sequence,
+    align_sequence_chunk,
+)
 from phovo_tpu.ops import se3
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.parallel.mesh import DATA_AXIS
@@ -120,6 +124,72 @@ def make_multi_sequence_server(
     def serve(intensities, depths, intr):
         return align_sequences(
             intensities, depths, intr, config, use_fused, warm_start
+        )
+
+    return serve
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_fused", "warm_start", "depth_scale"),
+)
+def serve_sequences_chunk(
+    carry_intensity: jax.Array,  # (S, H, W) last frame of each stream's prev chunk
+    carry_depth: jax.Array,  # (S, H, W)
+    intensities: jax.Array,  # (S, B, H, W) new frames (uint8 or float32)
+    depths: jax.Array,  # (S, B, H, W) metric float32 or raw uint16 counts
+    intr: Intrinsics,  # scalars (shared rig) or (S,) vectors
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+):
+    """Streaming multi-camera serving step: one chunk of B frames for each of
+    S streams per dispatch (vmap of models/analytic.py align_sequence_chunk
+    over the stream axis).
+
+    Returns (AlignmentResult with leading dims (S, B), chunk-relative poses
+    (S, B, 4, 4) — pair k's pose relative to the stream's chunk-start frame,
+    integrated on device — new carry intensities (S, H, W) float, new carry
+    depths). The host advances each stream's global pose with ONE 4x4
+    multiply per chunk-pose: G_k = G_chunk_start @ poses[s, k].
+    """
+
+    def one(ci, cd, I, D, it):
+        return align_sequence_chunk(
+            ci, cd, I, D, it, config, use_fused, warm_start, depth_scale
+        )
+
+    in_axes_intr = Intrinsics(*(0 if jnp.ndim(v) > 0 else None for v in intr))
+    res, new_ci, new_cd = jax.vmap(one, in_axes=(0, 0, 0, 0, in_axes_intr))(
+        carry_intensity, carry_depth, intensities, depths, intr
+    )
+    poses = jax.vmap(se3.integrate_trajectory)(res.state)
+    return res, poses, new_ci, new_cd
+
+
+def make_chunked_sequence_server(
+    mesh: Mesh,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+):
+    """Streaming production server: S camera streams sharded over the mesh
+    'data' axis, chunked frame ingestion in storage dtype (uint8/uint16 over
+    PCIe, converted on device), device-resident carry frames, device-side
+    chunk-pose integration. Used by apps/phovo_serve.py. S must be divisible
+    by the data-axis size."""
+    carry_sh = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    chunk_sh = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+    @functools.partial(
+        jax.jit, in_shardings=(carry_sh, carry_sh, chunk_sh, chunk_sh, None)
+    )
+    def serve(carry_i, carry_d, intensities, depths, intr):
+        return serve_sequences_chunk(
+            carry_i, carry_d, intensities, depths, intr,
+            config, use_fused, warm_start, depth_scale,
         )
 
     return serve
