@@ -267,31 +267,39 @@ class KeyframeVisualOdometry:
     # -- backend -------------------------------------------------------------
 
     def build_pose_graph(self) -> PoseGraph:
-        M = len(self.keyframes)
+        # one batched matrix->state conversion (a per-keyframe/per-edge loop
+        # is M+K host dispatches)
         states = jnp.asarray(
-            np.stack(
-                [np.asarray(se3.matrix_to_state(jnp.asarray(k.pose))) for k in self.keyframes]
+            np.asarray(
+                se3.matrix_to_state(
+                    jnp.asarray(np.stack([k.pose for k in self.keyframes]))
+                )
             ).astype(np.float32)
         )
-        ei, ej, zs, ws = [], [], [], []
-        for i, j, rel in self.odometry_edges:
-            ei.append(i)
-            ej.append(j)
-            zs.append(np.asarray(se3.matrix_to_state(jnp.asarray(rel))))
-            ws.append(1.0)
-        for lc in self.loop_closures:
-            ei.append(lc.from_kf)
-            ej.append(lc.to_kf)
-            zs.append(np.asarray(se3.matrix_to_state(jnp.asarray(lc.relative))))
-            ws.append(self.loop_weight)
+        ei = [i for i, _, _ in self.odometry_edges] + [
+            lc.from_kf for lc in self.loop_closures
+        ]
+        ej = [j for _, j, _ in self.odometry_edges] + [
+            lc.to_kf for lc in self.loop_closures
+        ]
+        rels = [rel for _, _, rel in self.odometry_edges] + [
+            lc.relative for lc in self.loop_closures
+        ]
+        ws = [1.0] * len(self.odometry_edges) + [self.loop_weight] * len(
+            self.loop_closures
+        )
         if not ei:  # single-keyframe trajectory: a self-consistent null graph
-            ei, ej = [0], [0]
-            zs, ws = [np.zeros(6)], [0.0]
+            ei, ej, ws = [0], [0], [0.0]
+            zs = np.zeros((1, 6), np.float32)
+        else:
+            zs = np.asarray(
+                se3.matrix_to_state(jnp.asarray(np.stack(rels)))
+            ).astype(np.float32)
         return PoseGraph(
             states=states,
             edges_i=jnp.asarray(ei, jnp.int32),
             edges_j=jnp.asarray(ej, jnp.int32),
-            measurements=jnp.asarray(np.stack(zs).astype(np.float32)),
+            measurements=jnp.asarray(zs),
             weights=jnp.asarray(ws, jnp.float32),
         )
 

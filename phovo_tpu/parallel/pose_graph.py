@@ -110,14 +110,32 @@ def optimize_pose_graph(
     iterations: int = 10,
     damping: float = 1e-6,
     fixed_first: bool = True,
+    solver: str = "auto",
+    cg_iterations: int = 100,
+    cg_tol: float = 1e-8,
 ) -> tuple[jax.Array, jax.Array]:
     """Gauss-Newton over all keyframe poses. Returns (states, final_cost).
 
     With a mesh, edges are padded to a multiple of the axis size and sharded;
-    each device accumulates its block contributions and a psum merges them
-    (DCN/ICI traffic: one (M,M,6,6)+(M,6) allreduce per GN iteration).
+    each device accumulates its block contributions and a psum merges them.
+
+    solver:
+      'dense' — form the (M, M, 6, 6) block Hessian, dense 6Mx6M solve.
+        Exact; DCN/ICI traffic one (M,M,6,6) allreduce per GN iteration;
+        right for keyframe windows (M up to a couple hundred).
+      'cg'    — matrix-free block-Jacobi-preconditioned conjugate gradient:
+        H is never formed; each CG iteration applies H edge-wise (gather two
+        pose blocks, two 6x6 block products, scatter-add) and psums ONE
+        (M, 6) vector (~48*M bytes vs 144*M^2 for the dense Hessian). Memory
+        and traffic are O(M + K); right for map-scale graphs.
+      'auto'  — 'dense' for M <= 192, else 'cg'.
     """
     K = graph.edges_i.shape[0]
+    M = graph.states.shape[0]
+    if solver == "auto":
+        solver = "dense" if M <= 192 else "cg"
+    if solver not in ("dense", "cg"):
+        raise ValueError(f"unknown solver {solver!r}")
     ei, ej, z, w = graph.edges_i, graph.edges_j, graph.measurements, graph.weights
     if mesh is not None:
         n = 1
@@ -131,19 +149,165 @@ def optimize_pose_graph(
     return _optimize_pose_graph_jit(
         graph.states, ei, ej, z, w, jnp.float32(damping),
         mesh=mesh, iterations=iterations, fixed_first=fixed_first,
+        solver=solver, cg_iterations=cg_iterations, cg_tol=float(cg_tol),
     )
 
 
+def _cg_gn_step(
+    states, ei, ej, z, w, damping, M, fixed_first, cg_iterations, cg_tol,
+    vma_axes=(),
+):
+    """One Gauss-Newton step with a matrix-free PCG inner solve.
+
+    Linearizes the local edge shard once, then runs block-Jacobi-
+    preconditioned CG on (J^T J + damping I) step = J^T r without ever
+    forming J^T J: each CG iteration gathers the two pose blocks of every
+    edge, applies the cached 6x6 Jacobian blocks, scatter-adds, and (under
+    shard_map) psums one (M, 6) vector. The gauge (pose 0, fixed_first)
+    is handled by projection: its residual/step components are pinned to
+    zero, so all CG iterates stay in the fixed-gauge subspace — the same
+    solution as the dense path's row/col masking.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    psum = (
+        (lambda x: jax.lax.psum(x, vma_axes)) if vma_axes else (lambda x: x)
+    )
+
+    valid = ei >= 0
+    iw = jnp.where(valid, ei, 0).astype(jnp.int32)
+    jw = jnp.where(valid, ej, 0).astype(jnp.int32)
+    r, Ji, Jj = jax.vmap(_edge_residual_and_jacobians)(
+        states[iw], states[jw], z, w
+    )
+    mask = valid.astype(jnp.float32)
+    r = r * mask[:, None]
+    Ji = Ji * mask[:, None, None]
+    Jj = Jj * mask[:, None, None]
+    cost = psum(jnp.sum(r * r))
+
+    def zeros(shape):
+        x = jnp.zeros(shape, jnp.float32)
+        if vma_axes:
+            x = jax.lax.pcast(x, vma_axes, to="varying")
+        return x
+
+    def jt_apply(u):  # J^T u: (K, 6) -> (M, 6)
+        g = (
+            zeros((M, 6))
+            .at[iw].add(jnp.einsum("kab,ka->kb", Ji, u, precision=hp))
+            .at[jw].add(jnp.einsum("kab,ka->kb", Jj, u, precision=hp))
+        )
+        return psum(g)
+
+    g = jt_apply(r)
+    # block-Jacobi preconditioner from the diagonal 6x6 blocks
+    D = (
+        zeros((M, 6, 6))
+        .at[iw].add(jnp.einsum("kab,kac->kbc", Ji, Ji, precision=hp))
+        .at[jw].add(jnp.einsum("kab,kac->kbc", Jj, Jj, precision=hp))
+    )
+    D = psum(D) + damping * jnp.eye(6, dtype=jnp.float32)
+    if fixed_first:
+        g = g.at[0].set(0.0)
+        D = D.at[0].set(jnp.eye(6, dtype=jnp.float32))
+    Pinv = jnp.linalg.inv(D)  # (M, 6, 6)
+
+    def precond(v):
+        return jnp.einsum("mab,mb->ma", Pinv, v, precision=hp)
+
+    def hess_apply(v):  # (J^T J + damping I) v, gauge row pinned
+        u = jnp.einsum("kab,kb->ka", Ji, v[iw], precision=hp) + jnp.einsum(
+            "kab,kb->ka", Jj, v[jw], precision=hp
+        )
+        y = jt_apply(u) + damping * v
+        if fixed_first:
+            y = y.at[0].set(v[0])
+        return y
+
+    def vdot(a, b):
+        return jnp.sum(a * b)
+
+    gnorm = vdot(g, g)
+    x0 = jnp.zeros((M, 6), jnp.float32)
+    z0 = precond(g)
+    carry0 = (jnp.int32(0), x0, g, z0, vdot(g, z0))
+
+    def cond(c):
+        k, _, rv, _, rz = c
+        return (
+            (k < cg_iterations)
+            & (rz > 0.0)
+            & (vdot(rv, rv) > (cg_tol * cg_tol) * gnorm)
+        )
+
+    def body(c):
+        k, x, rv, p, rz = c
+        Hp = hess_apply(p)
+        pHp = vdot(p, Hp)
+        alpha = rz / jnp.where(pHp > 0.0, pHp, 1.0)
+        alpha = jnp.where(pHp > 0.0, alpha, 0.0)
+        x = x + alpha * p
+        rv = rv - alpha * Hp
+        zv = precond(rv)
+        rz_new = vdot(rv, zv)
+        beta = rz_new / jnp.where(rz > 0.0, rz, 1.0)
+        p = zv + beta * p
+        return (k + 1, x, rv, p, rz_new)
+
+    # seed the search direction with z0 by entering the loop with p = z0
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (carry0[0], carry0[1], carry0[2], carry0[3], carry0[4])
+    )
+    step = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+    return states - step, cost
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "iterations", "fixed_first")
+    jax.jit,
+    static_argnames=(
+        "mesh", "iterations", "fixed_first", "solver", "cg_iterations",
+        "cg_tol",
+    ),
 )
 def _optimize_pose_graph_jit(
-    states0, ei, ej, z, w, damping, *, mesh, iterations, fixed_first
+    states0, ei, ej, z, w, damping, *, mesh, iterations, fixed_first,
+    solver="dense", cg_iterations=100, cg_tol=1e-8,
 ):
     """Jitted core with the graph data as ARGUMENTS: a closure-captured
     graph would be baked into the program as constants, making every
     distinct graph compile (and persistent-cache-miss) its own program."""
     M = states0.shape[0]
+
+    if solver == "cg":
+        if mesh is not None:
+            axes = tuple(mesh.axis_names)
+            spec = P(mesh.axis_names)
+
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), spec, spec, spec, spec, P()),
+                out_specs=(P(), P()),
+            )
+            def cg_step(states, ei_s, ej_s, z_s, w_s, damp):
+                return _cg_gn_step(
+                    states, ei_s, ej_s, z_s, w_s, damp, M, fixed_first,
+                    cg_iterations, cg_tol, axes,
+                )
+
+            def gn_step(states, _):
+                return cg_step(states, ei, ej, z, w, damping)
+
+        else:
+
+            def gn_step(states, _):
+                return _cg_gn_step(
+                    states, ei, ej, z, w, damping, M, fixed_first,
+                    cg_iterations, cg_tol,
+                )
+
+        states, costs = jax.lax.scan(gn_step, states0, None, length=iterations)
+        return states, costs[-1]
 
     if mesh is not None:
         spec = P(mesh.axis_names)  # shard edges over ALL mesh axes flattened
@@ -207,13 +371,12 @@ def chain_to_graph(
     T_inv = se3.inverse(se3.pose_matrix(rel))  # (N-1, 4, 4)
     meas = se3.matrix_to_state(T_inv)
 
-    # initial states: cumulative composition
-    states = [jnp.zeros(6, jnp.float32)]
-    Tw = jnp.eye(4)
-    for k in range(N - 1):
-        Tw = Tw @ T_inv[k]
-        states.append(se3.matrix_to_state(Tw))
-    states = jnp.stack(states)
+    # initial states: the O(log N) device-side prefix product (a host loop
+    # here costs N sequential dispatches — seconds at map scale)
+    Tw = se3.integrate_trajectory(rel)  # (N-1, 4, 4)
+    states = jnp.concatenate(
+        [jnp.zeros((1, 6), jnp.float32), se3.matrix_to_state(Tw)]
+    )
 
     ei = list(range(N - 1))
     ej = list(range(1, N))

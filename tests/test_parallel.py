@@ -185,3 +185,41 @@ def test_multi_sequence_server_matches_serial(intr, small_pair):
         Rt = np.asarray(se3.pose_matrix(serial.state[k]), dtype=np.float64)
         pose = pose @ np.linalg.inv(Rt)
         np.testing.assert_allclose(np.asarray(poses[0, k]), pose, atol=1e-4)
+
+
+def test_pose_graph_cg_matches_dense():
+    true_rel = _noisy_chain(n=8, seed=5)
+    noisy = true_rel + 0.02 * np.random.default_rng(7).standard_normal(
+        true_rel.shape
+    ).astype(np.float32)
+    graph = chain_to_graph(noisy)
+    states_d, cost_d = optimize_pose_graph(
+        graph, iterations=6, damping=1e-4, solver="dense"
+    )
+    states_c, cost_c = optimize_pose_graph(
+        graph, iterations=6, damping=1e-4, solver="cg",
+        cg_iterations=200, cg_tol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(states_c), np.asarray(states_d), atol=1e-4
+    )
+    np.testing.assert_allclose(float(cost_c), float(cost_d), rtol=1e-4, atol=1e-8)
+
+
+def test_pose_graph_cg_sharded_matches_single_device():
+    true_rel = _noisy_chain(n=6, seed=11)
+    graph = chain_to_graph(true_rel, [(0, 5, np.zeros(6, np.float32))],
+                           loop_weight=10.0)
+    s1, c1 = optimize_pose_graph(
+        graph, iterations=5, solver="cg", cg_iterations=150, cg_tol=1e-12
+    )
+    mesh = make_mesh(8, pixel_parallel=2)
+    s8, c8 = optimize_pose_graph(
+        graph, mesh=mesh, iterations=5, solver="cg",
+        cg_iterations=150, cg_tol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=1e-4)
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-4, atol=1e-8)
+    # and CG agrees with the dense solver on the same sharded graph
+    sd, cd = optimize_pose_graph(graph, mesh=mesh, iterations=5, solver="dense")
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(sd), atol=1e-4)
