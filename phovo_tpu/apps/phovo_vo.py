@@ -503,18 +503,22 @@ def _run_keyframe_mode(args, vo, seq) -> int:
 
     ignored = [
         name for name, on in [
-            ("--chunk", args.chunk > 1),
             ("--warm-start", args.warm_start),
             ("--checkpoint", bool(args.checkpoint)),
             ("--metrics", bool(args.metrics)),
             ("--save-diff-dir", bool(args.save_diff_dir)),
         ] if on
     ]
+    chunked = args.chunk > 1
+    if chunked and args.backend != "analytic":
+        ignored.append("--chunk")
+        chunked = False
     if ignored:
         print(
             f"note: {', '.join(ignored)} not supported in keyframe mode "
             "(tracking is per-frame against the current keyframe; the "
-            "back-end state lives in memory until finalize)",
+            "back-end state lives in memory until finalize; chunked "
+            "tracking needs --backend analytic)",
             file=sys.stderr,
         )
 
@@ -523,8 +527,13 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         kf_translation=args.kf_translation,
         kf_rotation=args.kf_rotation,
     )
+    stream = (
+        kvo.run_chunked(prefetch(iter(seq)), chunk=args.chunk)
+        if chunked
+        else kvo.run(prefetch(iter(seq)))
+    )
     n = 0
-    for tf in kvo.run(prefetch(iter(seq))):
+    for tf in stream:
         n += 1
         if not args.quiet:
             print(

@@ -256,6 +256,52 @@ def align_sequence_chunk(
     return results, I[-1], D[-1]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_fused", "warm_start", "depth_scale"),
+)
+def track_sequence_chunk(
+    kf_intensity: jax.Array,  # (H, W) the keyframe (source, fixed)
+    kf_depth: jax.Array,  # (H, W)
+    intensities: jax.Array,  # (B, H, W) frames to track (uint8 or float32)
+    depths: jax.Array,  # (B, H, W) metric float32 or raw uint16 counts
+    intr: Intrinsics,
+    init_state: jax.Array,  # (6,) warm start for the first frame
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = True,
+    depth_scale: float | None = None,
+) -> AlignmentResult:
+    """Track a chunk of B frames against ONE fixed keyframe in one device
+    program (the keyframe-VO analog of align_sequence_chunk).
+
+    The per-frame keyframe tracker (models/keyframe.py run) pays one
+    dispatch + one full-frame host->device transfer per frame; this scans
+    the whole chunk on device instead — per chunk the host moves only the
+    new frames in storage dtype. warm_start carries each frame's state into
+    the next frame's initialization (frames tracked against the same
+    keyframe move smoothly); the promotion decision stays on the host
+    (models/keyframe.py run_chunked), which re-dispatches the chunk tail
+    against a freshly promoted keyframe.
+    """
+    if depth_scale is not None and depths.dtype != jnp.float32:
+        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
+    intensities = device_unit_intensity(intensities)
+    kf_i = device_unit_intensity(kf_intensity).astype(jnp.float32)
+    kf_d = kf_depth.astype(jnp.float32)
+
+    def step(carry, frame):
+        ti, td = frame
+        init = carry if warm_start else jnp.zeros(6, jnp.float32)
+        res = align_analytic(kf_i, kf_d, ti, td, intr, init, config, use_fused)
+        return res.state, res
+
+    _, results = jax.lax.scan(
+        step, jnp.asarray(init_state, jnp.float32), (intensities, depths)
+    )
+    return results
+
+
 class PhotoconsistencyOdometryAnalytic(PhotoconsistencyOdometryBase):
     """Object API over `align_analytic` (reference class:
     CPhotoconsistencyOdometryAnalytic, …Analytic.h:57)."""

@@ -199,6 +199,113 @@ class KeyframeVisualOdometry:
             else:
                 last_rel_state = state.astype(np.float32)
 
+    def run_chunked(
+        self, frames: Iterable[RGBDFrame], chunk: int = 16
+    ) -> Iterator[TrackedFrame]:
+        """run() with chunked device tracking: B frames are tracked against
+        the current keyframe in ONE dispatch (models/analytic.py
+        track_sequence_chunk — one host->device transfer per chunk instead of
+        per frame), then the promotion walk happens on the host. When a
+        frame mid-chunk triggers a promotion, the chunk tail is re-tracked
+        against the new keyframe (its results against the old keyframe are
+        discarded) — with promotions every ~P frames the expected dispatch
+        count is (1 + B/P) per B frames. Trajectories are identical to
+        run(): same warm-start carry, same triggers, same edges.
+
+        Requires the analytic backend (config/use_fused/intrinsics are read
+        off the odometry object; tracking dispatches bypass its one-pair
+        object API).
+        """
+        import jax
+
+        from phovo_tpu.models.analytic import track_sequence_chunk
+
+        cfg = self.odometry.config
+        use_fused = getattr(self.odometry, "use_fused", True)
+        intr = self.odometry.intrinsics
+        if intr is None:
+            raise RuntimeError("set_intrinsic_matrix before run_chunked")
+
+        it = iter(frames)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        self._promote(first, 0, np.eye(4))
+        npix = first.intensity.size
+        last_rel_state = np.zeros(6, np.float32)
+        frame_index = 0
+        buf: list[RGBDFrame] = []
+
+        def track(buf_frames, kf, init):
+            I = np.stack([np.asarray(f.intensity) for f in buf_frames])
+            D = np.stack([np.asarray(f.depth, np.float32) for f in buf_frames])
+            if len(buf_frames) < chunk:
+                # pad to the compiled chunk shape (results discarded below);
+                # padding re-tracks the last frame, which is harmless
+                reps = chunk - len(buf_frames)
+                I = np.concatenate([I, np.repeat(I[-1:], reps, 0)])
+                D = np.concatenate([D, np.repeat(D[-1:], reps, 0)])
+            res = track_sequence_chunk(
+                kf.dev_intensity, kf.dev_depth,
+                jnp.asarray(I), jnp.asarray(D),
+                intr, jnp.asarray(init), cfg, use_fused,
+            )
+            return jax.device_get(res)
+
+        while True:
+            while len(buf) < chunk:
+                fr = next(it, None)
+                if fr is None:
+                    break
+                buf.append(fr)
+            if not buf:
+                break
+            kf = self.keyframes[-1]
+            res = track(buf, kf, last_rel_state)
+            consumed = 0
+            for k in range(len(buf)):
+                fr = buf[k]
+                frame_index += 1
+                consumed += 1
+                state = np.asarray(res.state[k])
+                iters_k = np.asarray(res.iterations[k])
+                ran = np.nonzero(iters_k > 0)[0]
+                lvl = int(ran[0]) if len(ran) else 0
+                nvalid = float(np.asarray(res.num_valid[k])[lvl])
+                Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
+                rel = np.linalg.inv(Rt)
+                pose = kf.pose @ rel
+                tf = TrackedFrame(
+                    frame_index=frame_index,
+                    timestamp=fr.timestamp,
+                    keyframe_index=kf.index,
+                    rel_to_keyframe=rel,
+                    pose=pose,
+                    align_iterations=iters_k,
+                    num_valid=nvalid,
+                )
+                self.tracked.append(tf)
+                yield tf
+
+                trans = float(np.linalg.norm(state[:3]))
+                rot = float(np.linalg.norm(state[3:]))
+                overlap = nvalid / (float(npix) / 4.0**lvl)
+                if (
+                    trans > self.kf_translation
+                    or rot > self.kf_rotation
+                    or overlap < self.kf_min_valid_fraction
+                ):
+                    new_kf = self._promote(fr, frame_index, pose)
+                    self.odometry_edges.append(
+                        (kf.index, new_kf.index, rel.copy())
+                    )
+                    self._try_loop_closure(new_kf)
+                    last_rel_state = np.zeros(6, np.float32)
+                    break  # re-track the chunk tail against the new keyframe
+                last_rel_state = state.astype(np.float32)
+            buf = buf[consumed:]
+
     def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
         kf = Keyframe(
             index=len(self.keyframes),

@@ -242,3 +242,27 @@ def test_level_skipping_config_does_not_promote_every_frame(loop_sequence):
     list(kvo.run(frames))
     # the sequence moves ~0.06/frame at peak: nothing near every-frame
     assert len(kvo.keyframes) < len(frames) / 2, len(kvo.keyframes)
+
+
+@pytest.mark.parametrize("chunk", [3, 16])
+def test_run_chunked_matches_run(loop_sequence, chunk):
+    """Chunked keyframe tracking must reproduce the per-frame path exactly:
+    same promotions, edges, loop closures, and tracked poses."""
+    frames, _ = loop_sequence
+    ref = _make_kvo()
+    tracked_ref = list(ref.run(frames))
+    kvo = _make_kvo()
+    tracked = list(kvo.run_chunked(frames, chunk=chunk))
+
+    assert len(tracked) == len(tracked_ref)
+    assert [k.frame_index for k in kvo.keyframes] == [
+        k.frame_index for k in ref.keyframes
+    ]
+    assert len(kvo.loop_closures) == len(ref.loop_closures)
+    assert [(i, j) for i, j, _ in kvo.odometry_edges] == [
+        (i, j) for i, j, _ in ref.odometry_edges
+    ]
+    for a, b in zip(tracked, tracked_ref):
+        assert a.frame_index == b.frame_index
+        assert a.keyframe_index == b.keyframe_index
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
