@@ -51,8 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "and a final pose-graph optimization")
     p.add_argument("--chunk", type=int, default=1,
                    help="buffer N frames and align all consecutive pairs in "
-                        "one device program (lax.scan; analytic and ic "
-                        "backends) — amortizes per-dispatch latency ~20x")
+                        "one device program (lax.scan; every backend; in "
+                        "keyframe mode: chunked tracking, analytic only) — "
+                        "amortizes per-dispatch latency ~20x")
     p.add_argument("--ba-iterations", type=int, default=0,
                    help="keyframe mode: after the pose graph, refine sliding "
                         "keyframe windows with photometric bundle adjustment "
@@ -181,10 +182,6 @@ def _main(argv=None) -> int:
     if args.mode == "keyframe":
         return _run_keyframe_mode(args, vo, seq)
     if args.chunk > 1:
-        if args.backend not in ("analytic", "ic"):
-            print("error: --chunk requires --backend analytic or ic",
-                  file=sys.stderr)
-            return 1
         return _run_chunked(args, cfg, intr, seq)
 
     pipeline = VisualOdometryPipeline(
@@ -294,6 +291,8 @@ def _run_chunked(args, cfg, intr, seq) -> int:
 
     from phovo_tpu.datasets.tum import prefetch
     from phovo_tpu.models.analytic import align_sequence_chunk
+    from phovo_tpu.models.autodiff import align_sequence_chunk_autodiff
+    from phovo_tpu.models.biobjective import align_sequence_chunk_biobjective
     from phovo_tpu.models.ic import align_sequence_chunk_ic
     from phovo_tpu.ops import se3
     from phovo_tpu.utils.trajectory import TrajectoryWriter
@@ -451,9 +450,19 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         if depth_scale is not None and D0.dtype == np_.uint16:
             carry_d = carry_d * jnp.float32(depth_scale)
         pending = None  # (device states, timestamps, t_start)
-        chunk_fn = (
-            align_sequence_chunk_ic if args.backend == "ic"
-            else align_sequence_chunk
+        # every backend ships a chunked sequence entry; they share the
+        # (carry_i, carry_d, I, D, intr, cfg, <backend static>, warm_start,
+        # depth_scale) signature, with the backend-specific static defaulted
+        # here ('ceres'/'autodiff' uses its production linearizer mode)
+        chunk_fn = {
+            "analytic": align_sequence_chunk,
+            "ic": align_sequence_chunk_ic,
+            "ceres": align_sequence_chunk_autodiff,
+            "autodiff": align_sequence_chunk_autodiff,
+            "biobjective": align_sequence_chunk_biobjective,
+        }[args.backend]
+        backend_static = (
+            "linearizer" if args.backend in ("ceres", "autodiff") else True
         )
         try:
             for Ii, Dd, ts in stream:
@@ -471,7 +480,7 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                     Dd = np_.concatenate([Dd, np_.repeat(Dd[-1:], reps, 0)])
                 res, carry_i, carry_d = chunk_fn(
                     carry_i, carry_d, jnp.asarray(Ii), jnp.asarray(Dd),
-                    intr, cfg, True, args.warm_start,
+                    intr, cfg, backend_static, args.warm_start,
                     depth_scale if Dd.dtype == np_.uint16 else None,
                 )
                 if pending is not None:

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from phovo_tpu.models.base import (
     AlignmentResult,
     PhotoconsistencyOdometryBase,
+    chunk_device_prep,
     device_unit_intensity,
+    sequence_scan,
 )
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
@@ -206,18 +208,12 @@ def align_sequence(
     frame k -> k+1). warm_start initializes each pair from the previous
     relative state (the reference always starts from zero, …cpp:224).
     """
-    pairs = (
-        intensities[:-1], depths[:-1], intensities[1:], depths[1:]
+    return sequence_scan(
+        lambda si, sd, ti, td, init: align_analytic(
+            si, sd, ti, td, intr, init, config, use_fused
+        ),
+        intensities, depths, warm_start,
     )
-
-    def step(carry, pair):
-        si, sd, ti, td = pair
-        init = carry if warm_start else jnp.zeros(6, jnp.float32)
-        res = align_analytic(si, sd, ti, td, intr, init, config, use_fused)
-        return res.state, res
-
-    _, results = jax.lax.scan(step, jnp.zeros(6, jnp.float32), pairs)
-    return results
 
 
 @functools.partial(
@@ -244,14 +240,9 @@ def align_sequence_chunk(
     (results over B pairs, new carry intensity, new carry depth) — the carry
     outputs are already in converted float form.
     """
-    if depth_scale is not None and depths.dtype != jnp.float32:
-        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
-    intensities = device_unit_intensity(intensities)
-    # the carry may arrive in storage dtype too (u8) — route it through
-    # the same unit conversion as the chunk frames
-    carry_f = device_unit_intensity(carry_intensity).astype(jnp.float32)
-    I = jnp.concatenate([carry_f[None], intensities])
-    D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
+    I, D = chunk_device_prep(
+        carry_intensity, carry_depth, intensities, depths, depth_scale
+    )
     results = align_sequence(I, D, intr, config, use_fused, warm_start)
     return results, I[-1], D[-1]
 

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from phovo_tpu.models.base import (
     AlignmentResult,
     PhotoconsistencyOdometryBase,
+    chunk_device_prep,
     device_unit_intensity,
+    sequence_scan,
 )
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
@@ -145,6 +147,54 @@ def align_autodiff(
         cost=jnp.stack([d.cost for d in diags]),
         num_valid=jnp.stack([d.num_valid for d in diags]),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "jacobian_mode", "warm_start")
+)
+def align_sequence_autodiff(
+    intensities: jax.Array,  # (B, H, W) consecutive frames
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    jacobian_mode: str = "linearizer",
+    warm_start: bool = False,
+) -> AlignmentResult:
+    """Buffered-segment trust-region alignment: lax.scan over consecutive
+    pairs (the 'ceres' backend's analog of analytic.align_sequence)."""
+    return sequence_scan(
+        lambda si, sd, ti, td, init: align_autodiff(
+            si, sd, ti, td, intr, init, config, jacobian_mode
+        ),
+        intensities, depths, warm_start,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "jacobian_mode", "warm_start", "depth_scale"),
+)
+def align_sequence_chunk_autodiff(
+    carry_intensity: jax.Array,
+    carry_depth: jax.Array,
+    intensities: jax.Array,
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    jacobian_mode: str = "linearizer",
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+) -> tuple[AlignmentResult, jax.Array, jax.Array]:
+    """Streaming chunked variant for phovo-vo --chunk --backend ceres
+    (device-resident carry, storage-dtype ingestion; see
+    analytic.align_sequence_chunk)."""
+    I, D = chunk_device_prep(
+        carry_intensity, carry_depth, intensities, depths, depth_scale
+    )
+    results = align_sequence_autodiff(
+        I, D, intr, config, jacobian_mode, warm_start
+    )
+    return results, I[-1], D[-1]
 
 
 class PhotoconsistencyOdometryAutodiff(PhotoconsistencyOdometryBase):

@@ -79,6 +79,45 @@ def _as_float_depth(depth) -> np.ndarray:
     return np.asarray(depth, dtype=np.float32)
 
 
+def sequence_scan(align_one, intensities, depths, warm_start: bool):
+    """lax.scan over consecutive frame pairs of a buffered segment — the
+    TPU-idiomatic shape of the reference VO app's frame loop
+    (PhotoconsistencyVisualOdometry.cpp:212-259): one device program per
+    video segment instead of one dispatch per pair.
+
+    align_one(si, sd, ti, td, init) -> AlignmentResult. Returns batched
+    results with leading dim B-1 (pair k aligns frame k -> k+1).
+    warm_start initializes each pair from the previous relative state
+    (the reference always starts from zero, …cpp:224)."""
+    pairs = (intensities[:-1], depths[:-1], intensities[1:], depths[1:])
+
+    def step(carry, pair):
+        si, sd, ti, td = pair
+        init = carry if warm_start else jnp.zeros(6, jnp.float32)
+        res = align_one(si, sd, ti, td, init)
+        return res.state, res
+
+    _, results = jax.lax.scan(step, jnp.zeros(6, jnp.float32), pairs)
+    return results
+
+
+def chunk_device_prep(
+    carry_intensity, carry_depth, intensities, depths, depth_scale
+):
+    """Storage-dtype conversion + device-side carry prepend shared by the
+    chunked (streaming) sequence entries: per chunk the host transfers only
+    the new frames in storage dtype (uint8 intensity, uint16 depth counts),
+    the carry frame (last frame of the previous chunk) stays device-resident.
+    Returns (I (B+1,H,W) float32, D (B+1,H,W) float32 metric)."""
+    if depth_scale is not None and depths.dtype != jnp.float32:
+        depths = depths.astype(jnp.float32) * jnp.float32(depth_scale)
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    carry_f = device_unit_intensity(carry_intensity).astype(jnp.float32)
+    I = jnp.concatenate([carry_f[None], intensities])
+    D = jnp.concatenate([carry_depth.astype(jnp.float32)[None], depths])
+    return I, D
+
+
 class PhotoconsistencyOdometryBase:
     """Host-side stateful wrapper over the functional aligners."""
 

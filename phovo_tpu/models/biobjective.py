@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from phovo_tpu.models.base import (
     AlignmentResult,
     PhotoconsistencyOdometryBase,
+    chunk_device_prep,
     device_unit_intensity,
+    sequence_scan,
 )
 from phovo_tpu.ops import fused as fused_ops
 from phovo_tpu.ops import pyramid as pyr
@@ -148,6 +150,55 @@ def align_biobjective(
         cost=jnp.stack([d.cost for d in diags]),
         num_valid=jnp.stack([d.num_valid for d in diags]),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "use_fused", "warm_start")
+)
+def align_sequence_biobjective(
+    intensities: jax.Array,  # (B, H, W) consecutive frames
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+) -> AlignmentResult:
+    """Buffered-segment bi-objective alignment: lax.scan over consecutive
+    pairs (the intensity+depth backend's analog of analytic.align_sequence).
+    Unlike the photometric backends this one consumes the target depth."""
+    return sequence_scan(
+        lambda si, sd, ti, td, init: align_biobjective(
+            si, sd, ti, td, intr, init, config, use_fused
+        ),
+        intensities, depths, warm_start,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_fused", "warm_start", "depth_scale"),
+)
+def align_sequence_chunk_biobjective(
+    carry_intensity: jax.Array,
+    carry_depth: jax.Array,
+    intensities: jax.Array,
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    use_fused: bool = True,
+    warm_start: bool = False,
+    depth_scale: float | None = None,
+) -> tuple[AlignmentResult, jax.Array, jax.Array]:
+    """Streaming chunked variant for phovo-vo --chunk --backend biobjective
+    (device-resident carry, storage-dtype ingestion; see
+    analytic.align_sequence_chunk)."""
+    I, D = chunk_device_prep(
+        carry_intensity, carry_depth, intensities, depths, depth_scale
+    )
+    results = align_sequence_biobjective(
+        I, D, intr, config, use_fused, warm_start
+    )
+    return results, I[-1], D[-1]
 
 
 class PhotoconsistencyOdometryBiObjective(PhotoconsistencyOdometryBase):

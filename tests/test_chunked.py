@@ -28,17 +28,32 @@ def test_chunked_matches_frame_mode(tum_dir, tmp_path):
     np.testing.assert_allclose(a.quaternions, b.quaternions, atol=1e-5)
 
 
-def test_chunk_requires_analytic(tum_dir, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["ceres", "biobjective"])
+def test_chunked_matches_frame_mode_other_backends(tum_dir, tmp_path, backend):
+    """--chunk works for every backend (ceres/trust-region and bi-objective
+    ship their own chunked sequence entries) and reproduces frame mode."""
     from phovo_tpu.apps.phovo_vo import main
 
     cfg = tmp_path / "cfg.yml"
-    cfg.write_text("num_levels: 1\nmax_iterations: [2]\n")
-    rc = main([
-        "--config", str(cfg), "--dataset", str(tum_dir),
-        "--output", str(tmp_path / "x.txt"), "--intrinsics", "128,128,63.5,47.5",
-        "--chunk", "4", "--backend", "ceres", "--quiet",
-    ])
-    assert rc == 1
+    cfg.write_text(
+        "num_levels: 2\nmax_iterations: [6, 6]\n"
+        "min_gradient_norms: [1.0e-9, 1.0e-9]\nsampling: bilinear\n"
+    )
+    frame_out = tmp_path / f"frame_{backend}.txt"
+    chunk_out = tmp_path / f"chunk_{backend}.txt"
+    common = ["--config", str(cfg), "--dataset", str(tum_dir),
+              "--intrinsics", "128,128,63.5,47.5", "--quiet",
+              "--backend", backend]
+    assert main(common + ["--output", str(frame_out)]) == 0
+    assert main(common + ["--output", str(chunk_out), "--chunk", "2"]) == 0
+    a = read_trajectory(frame_out)
+    b = read_trajectory(chunk_out)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+    np.testing.assert_allclose(a.quaternions, b.quaternions, atol=1e-5)
 
 
 def test_chunked_checkpoint_resume(tum_dir, tmp_path):
