@@ -55,9 +55,9 @@ def align_analytic(
     target_intensity = device_unit_intensity(target_intensity)
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
-    int0 = pyr.build_pyramid(source_intensity, L, blur)
+    int0 = pyr.build_pyramid(source_intensity, L, blur, blur_type=config.blur_type)
     dep0 = pyr.build_pyramid(source_depth, L, None)
-    int1 = pyr.build_pyramid(target_intensity, L, blur)
+    int1 = pyr.build_pyramid(target_intensity, L, blur, blur_type=config.blur_type)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
     esm = config.gradient_at == "esm"
     if esm:

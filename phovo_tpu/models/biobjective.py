@@ -70,9 +70,9 @@ def align_biobjective(
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     scales = tuple(config.gradient_scales)
-    int0 = pyr.build_pyramid(source_intensity, L, blur)
+    int0 = pyr.build_pyramid(source_intensity, L, blur, blur_type=config.blur_type)
     dep0 = pyr.build_pyramid(source_depth, L, None)
-    int1 = pyr.build_pyramid(target_intensity, L, blur)
+    int1 = pyr.build_pyramid(target_intensity, L, blur, blur_type=config.blur_type)
     dep1 = pyr.build_pyramid(target_depth, L, None)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, scales)
     # Depth gradients are taken on depth normalized by 1/max_depth

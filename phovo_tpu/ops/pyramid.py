@@ -172,18 +172,29 @@ def resize_bilinear(img: jax.Array, out_shape: tuple[int, int]) -> jax.Array:
 
 def _sep_filter(img: jax.Array, kr, kc) -> jax.Array:
     """Separable correlation with reflect-101 borders via shifted adds
-    (pure fusable VPU work; jnp.pad mode='reflect' IS reflect-101)."""
-    hr, hc = len(kr) // 2, len(kc) // 2
+    (pure fusable VPU work; jnp.pad mode='reflect' IS reflect-101).
+
+    Anchor follows OpenCV's default ksize//2 (centered for odd kernels,
+    one-right-of-center for even — cv::blur accepts even sizes)."""
+    ar, ac = len(kr) // 2, len(kc) // 2
     out = img
     if len(kr) > 1:
-        p = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(hr, hr), (0, 0)], mode="reflect")
+        p = jnp.pad(
+            out,
+            [(0, 0)] * (out.ndim - 2) + [(ar, len(kr) - 1 - ar), (0, 0)],
+            mode="reflect",
+        )
         H = img.shape[-2]
         out = sum(
             float(kr[t]) * jax.lax.slice_in_dim(p, t, t + H, axis=-2)
             for t in range(len(kr))
         )
     if len(kc) > 1:
-        p = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(0, 0), (hc, hc)], mode="reflect")
+        p = jnp.pad(
+            out,
+            [(0, 0)] * (out.ndim - 2) + [(0, 0), (ac, len(kc) - 1 - ac)],
+            mode="reflect",
+        )
         W = img.shape[-1]
         out = sum(
             float(kc[t]) * jax.lax.slice_in_dim(p, t, t + W, axis=-1)
@@ -197,6 +208,16 @@ def gaussian_blur(img: jax.Array, ksize: int, sigma: float = 3.0) -> jax.Array:
     if ksize <= 0:
         return img
     k = _gaussian_kernel_1d(ksize, sigma)
+    return _sep_filter(img, k, k)
+
+
+def box_blur(img: jax.Array, ksize: int) -> jax.Array:
+    """Separable normalized box filter with reflect-101 borders — cv::blur
+    semantics, the reference's alternate pyramid smoothing compile path
+    (ENABLE_BOX_FILTER_BLUR, CPhotoconsistencyOdometryAnalytic.h:38,149-155)."""
+    if ksize <= 0:
+        return img
+    k = np.full(ksize, 1.0 / ksize, dtype=np.float64)
     return _sep_filter(img, k, k)
 
 
@@ -218,14 +239,20 @@ def build_pyramid(
     num_levels: int,
     blur_filter_sizes: tuple[int, ...] | None = None,
     blur_sigma: float = 3.0,
+    blur_type: str = "gaussian",
 ) -> list[jax.Array]:
     """List of per-level images, level 0 = full resolution.
 
     Each level is resized from the ORIGINAL image (reference semantics,
     CPhotoconsistencyOdometryAnalytic.h:125-161: factor = 1/2^level applied
     to `img`, not to the previous level), then blurred twice when a positive
-    blur size is configured for that level.
+    blur size is configured for that level. blur_type selects the
+    reference's compile-time smoothing variant: 'gaussian'
+    (ENABLE_GAUSSIAN_BLUR, double GaussianBlur sigma=3, …Analytic.h:143-148)
+    or 'box' (ENABLE_BOX_FILTER_BLUR, double cv::blur, …Analytic.h:149-155).
     """
+    if blur_type not in ("gaussian", "box"):
+        raise ValueError(f"blur_type={blur_type!r}; expected 'gaussian' or 'box'")
     base_shape = img.shape[-2:]
     pyramid = []
     for level in range(num_levels):
@@ -233,8 +260,10 @@ def build_pyramid(
         if blur_filter_sizes is not None:
             k = int(blur_filter_sizes[level])
             if k > 0:
-                lvl = gaussian_blur(lvl, k, blur_sigma)
-                lvl = gaussian_blur(lvl, k, blur_sigma)
+                if blur_type == "box":
+                    lvl = box_blur(box_blur(lvl, k), k)
+                else:
+                    lvl = gaussian_blur(gaussian_blur(lvl, k, blur_sigma), k, blur_sigma)
         pyramid.append(lvl)
     return pyramid
 

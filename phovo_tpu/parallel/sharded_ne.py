@@ -94,9 +94,9 @@ def make_pixel_sharded_aligner(mesh: Mesh, config: PhovoConfig):
         del td
         L = config.num_levels
         blur = tuple(config.blur_filter_sizes)
-        int0 = pyr.build_pyramid(si, L, blur)
+        int0 = pyr.build_pyramid(si, L, blur, blur_type=config.blur_type)
         dep0 = pyr.build_pyramid(sd, L, None)
-        int1 = pyr.build_pyramid(ti, L, blur)
+        int1 = pyr.build_pyramid(ti, L, blur, blur_type=config.blur_type)
         gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
 
         state = jnp.asarray(init_state, jnp.float32)

@@ -59,6 +59,11 @@ class PhovoConfig:
 
     num_levels: int = 5
     blur_filter_sizes: tuple[int, ...] = (0, 0, 0, 0, 0)
+    # Pyramid smoothing variant — the reference's compile-time switch
+    # (ENABLE_GAUSSIAN_BLUR / ENABLE_BOX_FILTER_BLUR,
+    # CPhotoconsistencyOdometryAnalytic.h:37-38,143-155), runtime here:
+    # 'gaussian' (double GaussianBlur sigma=3) | 'box' (double cv::blur)
+    blur_type: str = "gaussian"
     gradient_scales: tuple[float, ...] = (0.0625,) * 5
     max_iterations: tuple[int, ...] = (0, 0, 5, 20, 50)
     visualize_iterations: bool = False
@@ -150,6 +155,10 @@ class PhovoConfig:
                 f"gradient_at={self.gradient_at!r}; expected 'warped', "
                 "'source' or 'esm'"
             )
+        if self.blur_type not in ("gaussian", "box"):
+            raise ValueError(
+                f"blur_type={self.blur_type!r}; expected 'gaussian' or 'box'"
+            )
         if self.mix_mode not in ("f32", "bf16x2g", "bf16x2", "bf16"):
             raise ValueError(
                 f"mix_mode={self.mix_mode!r}; expected 'f32', 'bf16x2g', "
@@ -179,6 +188,7 @@ def load_config(path: str | Path) -> PhovoConfig:
 _FIELD_TYPES = {
     "num_levels": int,
     "blur_filter_sizes": int,
+    "blur_type": None,
     "gradient_scales": float,
     "max_iterations": int,
     "visualize_iterations": bool,

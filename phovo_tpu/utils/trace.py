@@ -75,9 +75,9 @@ def trace_alignment(
     L = config.num_levels
     blur = tuple(config.blur_filter_sizes)
     scales = tuple(config.gradient_scales)
-    int0 = pyr.build_pyramid(si, L, blur)
+    int0 = pyr.build_pyramid(si, L, blur, blur_type=config.blur_type)
     dep0 = pyr.build_pyramid(sd, L, None)
-    int1 = pyr.build_pyramid(ti, L, blur)
+    int1 = pyr.build_pyramid(ti, L, blur, blur_type=config.blur_type)
     gx1, gy1 = pyr.build_gradient_pyramid(int1, scales)
     esm = config.gradient_at == "esm"
     if esm:

@@ -30,6 +30,27 @@ def test_gaussian_blur_matches_cv2(ksize):
     np.testing.assert_allclose(ours, expected, atol=1e-5)
 
 
+@pytest.mark.parametrize("ksize", [2, 3, 5])
+def test_box_blur_matches_cv2(ksize):
+    # cv::blur default anchor/border; the reference's alternate smoothing
+    # compile path (ENABLE_BOX_FILTER_BLUR, …Analytic.h:38,149-155). ksize=2
+    # exercises the even-kernel anchor = ksize//2 (one right of center).
+    expected = cv2.blur(IMG, (ksize, ksize))
+    ours = np.asarray(pyr.box_blur(IMG, ksize))
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_build_pyramid_box_blur_type():
+    # double cv::blur per level, reference semantics (…Analytic.h:151-152)
+    p = pyr.build_pyramid(IMG, 3, (0, 3, 5), blur_type="box")
+    lvl1 = cv2.resize(IMG, (0, 0), fx=0.5, fy=0.5)
+    lvl1 = cv2.blur(cv2.blur(lvl1, (3, 3)), (3, 3))
+    np.testing.assert_allclose(np.asarray(p[1]), lvl1, atol=1e-5)
+    lvl2 = cv2.resize(IMG, (0, 0), fx=0.25, fy=0.25)
+    lvl2 = cv2.blur(cv2.blur(lvl2, (5, 5)), (5, 5))
+    np.testing.assert_allclose(np.asarray(p[2]), lvl2, atol=1e-5)
+
+
 @pytest.mark.parametrize("axis,dx,dy", [("x", 1, 0), ("y", 0, 1)])
 def test_scharr_matches_cv2(axis, dx, dy):
     scale = 0.0625
