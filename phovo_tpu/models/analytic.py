@@ -118,7 +118,7 @@ def align_analytic(
             # whole level (all GN iterations + solves) in one kernel call
             from phovo_tpu.solvers.gauss_newton import GNLevelResult
 
-            st, its, gnorm, cost, nvalid = fused_ops.fused_gn_level(
+            st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level(
                 int0[level], dep0[level], tgt, intr_l, state,
                 config.min_depth, config.max_depth,
                 config.max_iterations[level],
@@ -133,7 +133,7 @@ def align_analytic(
                 tdist_burnin=burnin,
             )
             state = st
-            diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
+            diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid, masked)
             if tdist and active:
                 sigma = tdist_scale_update(cost, nvalid)
                 first_active = False
@@ -185,6 +185,9 @@ def align_analytic(
         gradient_norm=jnp.stack([d.gradient_norm for d in diags]),
         cost=jnp.stack([d.cost for d in diags]),
         num_valid=jnp.stack([d.num_valid for d in diags]),
+        band_masked=jnp.stack(
+            [jnp.asarray(d.band_masked, jnp.float32) for d in diags]
+        ),
     )
 
 

@@ -113,7 +113,7 @@ def align_autodiff(
             from phovo_tpu.solvers.trust_region import TRLevelResult
 
             tgt = fused_ops.pack_target_colmajor(int1[level], gx1[level], gy1[level])
-            st, its, cost, gnorm, radius, nvalid = fused_ops.fused_tr_level(
+            st, its, cost, gnorm, radius, nvalid, masked = fused_ops.fused_tr_level(
                 int0[level], dep0[level], tgt, intr_l, state,
                 config.min_depth, config.max_depth,
                 config.trust_region_options(level),
@@ -123,7 +123,9 @@ def align_autodiff(
                 robust_delta=config.robust_delta,
             )
             state = st
-            diags[level] = TRLevelResult(st, its, cost, gnorm, radius, nvalid)
+            diags[level] = TRLevelResult(
+                st, its, cost, gnorm, radius, nvalid, masked
+            )
             continue
         else:
             tgt = fused_ops.pack_target(int1[level], gx1[level], gy1[level])
@@ -146,6 +148,9 @@ def align_autodiff(
         gradient_norm=jnp.stack([d.gradient_norm for d in diags]),
         cost=jnp.stack([d.cost for d in diags]),
         num_valid=jnp.stack([d.num_valid for d in diags]),
+        band_masked=jnp.stack(
+            [jnp.asarray(d.band_masked, jnp.float32) for d in diags]
+        ),
     )
 
 

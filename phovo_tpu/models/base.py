@@ -40,6 +40,12 @@ class AlignmentResult(NamedTuple):
     gradient_norm: jax.Array  # (L,) final ||J^T r|| (GN) / inf-norm (LM)
     cost: jax.Array  # (L,) final cost per level
     num_valid: jax.Array  # (L,) valid-pixel count per level
+    # (L,) max pixels dropped per iteration by the fused kernel's banded
+    # sampling window (0 where the exact XLA path ran / the band was wide
+    # enough). A material fraction band_masked/num_valid at a level means
+    # the motion exceeded the band and that level under-observed it — the
+    # caller should re-run that pair with use_fused=False.
+    band_masked: jax.Array | float = 0.0
 
     def transform(self) -> jax.Array:
         return se3.pose_matrix(self.state)

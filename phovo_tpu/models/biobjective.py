@@ -99,7 +99,7 @@ def align_biobjective(
             and H <= fused_ops.FUSED_MAX_H
             and config.max_iterations[level] > 0
         ):
-            st, its, gnorm, cost, nvalid = fused_ops.fused_gn_level(
+            st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level(
                 int0[level], dep0[level],
                 fused_ops.pack_target_colmajor(
                     int1[level], gx1[level], gy1[level]
@@ -117,7 +117,7 @@ def align_biobjective(
                 robust_delta=config.robust_delta,
             )
             state = st
-            diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid)
+            diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid, masked)
             continue
 
         def linearize(s, _lvl=level, _gain=gain, _intr=intr_l):
@@ -149,6 +149,9 @@ def align_biobjective(
         gradient_norm=jnp.stack([d.gradient_norm for d in diags]),
         cost=jnp.stack([d.cost for d in diags]),
         num_valid=jnp.stack([d.num_valid for d in diags]),
+        band_masked=jnp.stack(
+            [jnp.asarray(d.band_masked, jnp.float32) for d in diags]
+        ),
     )
 
 

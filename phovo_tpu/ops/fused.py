@@ -518,11 +518,16 @@ def _linearize_gram(
             band = (band // 8) * 8  # sublane-aligned dynamic slice start
             band = pl.multiple_of(band, 8)
             in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+            # observability (VERDICT r1): count pixels the band drops THIS
+            # iteration — otherwise a fast-rotation pair silently loses its
+            # fine-level information. Reported per level as band_masked.
+            n_masked = jnp.sum(jnp.where(valid & ~in_band, 1.0, 0.0))
             valid = valid & in_band
             r_lo_loc = r_lo - band
             r_hi_loc = r_hi - band
         else:
             band = 0
+            n_masked = jnp.float32(0.0)
             r_lo_loc = r_lo
             r_hi_loc = r_hi
 
@@ -622,17 +627,21 @@ def _linearize_gram(
             G, G, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return gram
+        return gram, n_masked
 
     GD = 8 if not bi else 16
     if n_tiles == 1:
-        total = tile_gram(0)
+        total, masked = tile_gram(0)
     else:
-        total = jax.lax.fori_loop(
-            0, n_tiles, lambda t, acc: acc + tile_gram(t),
-            jnp.zeros((GD, GD), jnp.float32),
+        def acc_tile(t, acc):
+            g, m = tile_gram(t)
+            return acc[0] + g, acc[1] + m
+
+        total, masked = jax.lax.fori_loop(
+            0, n_tiles, acc_tile,
+            (jnp.zeros((GD, GD), jnp.float32), jnp.float32(0.0)),
         )
-    return total
+    return total, masked
 
 
 def _fused_kernel(
@@ -654,7 +663,7 @@ def _fused_kernel(
     — the solver loop carries it (solvers/gauss_newton.py adaptive_scale).
     """
     rd = state_ref[0, 6] if robust_loss == "tdist" else robust_delta
-    gram = _linearize_gram(
+    gram, n_masked = _linearize_gram(
         state_ref[0, 0], state_ref[0, 1], state_ref[0, 2],
         state_ref[0, 3], state_ref[0, 4], state_ref[0, 5],
         const_ref[0, 0], const_ref[0, 1], const_ref[0, 2], const_ref[0, 3],
@@ -662,7 +671,13 @@ def _fused_kernel(
         H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=rd, esm=esm,
     )
-    out_ref[:] = gram
+    # The (6,7)/(7,6) entries (sum of weighted residual x valid) are consumed
+    # nowhere; repurpose them to carry the band-masked pixel count out of the
+    # kernel (NormalEquations.band_masked).
+    ir = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    slot = ((ir == 6) & (ic == 7)) | ((ir == 7) & (ic == 6))
+    out_ref[:] = jnp.where(slot, n_masked, gram)
 
 
 def _chol_solve6(A, b):
@@ -731,9 +746,9 @@ def _run_gn_loop(
     def body(carry):
         s = carry[:6]
         if tdist:
-            gram = linearize(*s, carry[10])
+            gram, n_masked = linearize(*s, carry[11])
         else:
-            gram = linearize(*s)
+            gram, n_masked = linearize(*s)
         if bi:
             A = [
                 [gram[i, j] + gram[8 + i, 8 + j] for j in range(6)]
@@ -755,7 +770,10 @@ def _run_gn_loop(
             jnp.where(finite, s[k] - lambda_step * xs[k], s[k]) for k in range(6)
         )
         gnorm = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
-        out = new_s + (carry[6] + 1.0, gnorm, cost, nvalid)
+        out = new_s + (
+            carry[6] + 1.0, gnorm, cost, nvalid,
+            jnp.maximum(carry[10], n_masked),
+        )
         if tdist:
             # sigma^2 <- sum w r^2 / n (ops/robust.py tdist_scale_update,
             # inlined on the scalar unit)
@@ -768,11 +786,12 @@ def _run_gn_loop(
     if tdist:
         sigma0 = jnp.asarray(tdist_sigma0, jnp.float32)
         for _ in range(tdist_burnin):
-            g = linearize(*s_init, sigma0)
+            g, _ = linearize(*s_init, sigma0)
             var = g[6, 6] / jnp.maximum(g[7, 7], 1.0)
             sigma0 = jnp.maximum(jnp.sqrt(var), jnp.float32(TDIST_MIN_SCALE))
     init = s_init + (
-        jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(0.0),
     ) + ((sigma0,) if tdist else ())
     final = jax.lax.while_loop(cond, body, init)
     for k in range(6):
@@ -783,7 +802,8 @@ def _run_gn_loop(
     diag_out_ref[0, 1] = jnp.where(jnp.isfinite(final[7]), final[7], 0.0)
     diag_out_ref[0, 2] = final[8]
     diag_out_ref[0, 3] = final[9]
-    for k in range(4, 8):
+    diag_out_ref[0, 4] = final[10]  # max band-masked pixels per iteration
+    for k in range(5, 8):
         diag_out_ref[0, k] = jnp.float32(0.0)
 
 
@@ -831,7 +851,7 @@ def _run_tr_loop(
         step = [jnp.where(finite, st, 0.0) for st in step]
 
         new_s = tuple(s[k] + step[k] for k in range(6))
-        new_gram = linearize(*new_s)
+        new_gram, n_masked = linearize(*new_s)
         new_cost = 0.5 * new_gram[6, 6]
 
         # rho = actual / predicted decrease for the LM step
@@ -869,16 +889,20 @@ def _run_tr_loop(
         )
         r_done = new_radius < opts.min_trust_region_radius
         done = f_done | g_done | p_done | r_done
-        return s_n + (gram_n, new_radius, carry[8] + 1.0, done)
+        return s_n + (
+            gram_n, new_radius, carry[8] + 1.0, done,
+            jnp.maximum(carry[10], n_masked),
+        )
 
     s0 = tuple(state_ref[0, k] for k in range(6))
-    gram0 = linearize(*s0)
+    gram0, masked0 = linearize(*s0)
     done0 = jnp.max(jnp.abs(gram0[:6, 6])) <= opts.gradient_tolerance
     init = s0 + (
         gram0,
         jnp.float32(opts.initial_trust_region_radius),
         jnp.float32(0.0),
         done0,
+        masked0,
     )
     final = jax.lax.while_loop(cond, body, init)
     for k in range(6):
@@ -891,7 +915,8 @@ def _run_tr_loop(
     diag_out_ref[0, 2] = 0.5 * gram_f[6, 6]  # accepted cost (Ceres 0.5x)
     diag_out_ref[0, 3] = gram_f[7, 7]  # num_valid
     diag_out_ref[0, 4] = final[7]  # final radius
-    for k in range(5, 8):
+    diag_out_ref[0, 5] = final[10]  # max band-masked pixels per iteration
+    for k in range(6, 8):
         diag_out_ref[0, k] = jnp.float32(0.0)
 
 
@@ -933,8 +958,8 @@ def fused_tr_level(
     """Run a whole trust-region LM pyramid level as ONE pallas call.
 
     opts: solvers.trust_region.TROptions (static — baked into the kernel).
-    Returns (state (6,), iterations, cost, gradient_norm, radius, num_valid)
-    matching solvers.trust_region.TRLevelResult field order.
+    Returns (state (6,), iterations, cost, gradient_norm, radius, num_valid,
+    band_masked) matching solvers.trust_region.TRLevelResult field order.
     """
     H, W = source_intensity.shape
     NP, NT = _pick_tile_pixels(H, W)
@@ -983,6 +1008,7 @@ def fused_tr_level(
         diag[0, 1],
         diag[0, 4],
         diag[0, 3],
+        diag[0, 5],
     )
 
 
@@ -1003,7 +1029,8 @@ def _fused_gn_kernel(
     launch/DMA latency; the reference schedules run 75 iterations/frame).
 
     state_out_ref (SMEM, (1, 8)): final [x y z yaw pitch roll 0 0].
-    diag_out_ref (SMEM, (1, 8)): [iterations, ||g||, cost, num_valid, 0...].
+    diag_out_ref (SMEM, (1, 8)): [iterations, ||g||, cost, num_valid,
+    band_masked, 0...].
     """
     fx = const_ref[0, 0]
     fy = const_ref[0, 1]
@@ -1133,7 +1160,7 @@ def make_fused_linearizer(
         gram = call(st, const, i0_flat, geom, t_all)
         return NormalEquations(
             JtJ=gram[:6, :6], Jtr=gram[:6, 6], cost=gram[6, 6],
-            num_valid=gram[7, 7],
+            num_valid=gram[7, 7], band_masked=gram[6, 7],
         )
 
     return linearize
@@ -1155,9 +1182,13 @@ def fused_gn_level(
     the previous level (defaults to robust_delta); tdist_burnin: extra
     scale-only fixed-point passes at the initial state (first active level).
 
-    Returns (state (6,), iterations, gradient_norm, cost, num_valid) with
-    GNLevelResult-compatible semantics (solvers/gauss_newton.py): an update
-    is performed, then its gradient norm gates the next iteration.
+    Returns (state (6,), iterations, gradient_norm, cost, num_valid,
+    band_masked) with GNLevelResult-compatible semantics
+    (solvers/gauss_newton.py): an update is performed, then its gradient
+    norm gates the next iteration. band_masked is the max count (over
+    iterations) of pixels the banded sampling window dropped — nonzero only
+    under displacement beyond the band at fine levels; material values mean
+    the level under-observed the motion (fall back to use_fused=False).
 
     depth_cols = (target_depth, depth_grad_x, depth_grad_y) with depth_gain
     switches to the bi-objective intensity+depth objective.
@@ -1239,6 +1270,7 @@ def fused_gn_level(
         diag[0, 1],
         diag[0, 2],
         diag[0, 3],
+        diag[0, 4],
     )
 
 

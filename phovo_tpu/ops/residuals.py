@@ -54,6 +54,9 @@ class NormalEquations(NamedTuple):
     Jtr: jax.Array  # (6,)
     cost: jax.Array  # scalar: sum of squared residuals
     num_valid: jax.Array  # scalar: number of contributing pixels
+    # pixels dropped by the fused kernel's banded sampling window this
+    # linearization (0 for the exact XLA paths, which have no band)
+    band_masked: jax.Array | float = 0.0
 
 
 def rigid_jacobian(points: jax.Array, state: jax.Array) -> jax.Array:

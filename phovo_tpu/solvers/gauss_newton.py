@@ -23,6 +23,9 @@ class GNLevelResult(NamedTuple):
     gradient_norm: jax.Array  # ||J^T r|| at the last performed update
     cost: jax.Array  # sum of squared residuals at the last linearization
     num_valid: jax.Array  # valid-pixel count at the last linearization
+    # max pixels dropped by the fused kernel's banded sampling window over
+    # the level's iterations (0 on the exact XLA paths — no band there)
+    band_masked: jax.Array | float = 0.0
 
 
 def solve6(A: jax.Array, b: jax.Array) -> jax.Array:

@@ -36,6 +36,9 @@ class TRLevelResult(NamedTuple):
     gradient_norm: jax.Array  # max-norm of J^T r at termination
     radius: jax.Array  # final trust-region radius
     num_valid: jax.Array  # valid pixels at last accepted linearization
+    # max pixels dropped by the fused kernel's banded sampling window over
+    # the level's iterations (0 on the exact XLA paths — no band there)
+    band_masked: jax.Array | float = 0.0
 
 
 class TROptions(NamedTuple):

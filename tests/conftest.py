@@ -7,14 +7,20 @@ multi-chip path; bench.py runs on the real chip).
 
 import os
 
-# Force CPU regardless of the ambient JAX_PLATFORMS (the driver environment
-# pins it to the TPU plugin; tests must use the virtual 8-device CPU mesh).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PHOVO_TPU_TESTS=1 leaves the ambient platform (the real chip) in place so
+# the `-m tpu` on-device kernel suite runs against real Mosaic lowering:
+#   PHOVO_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+# Otherwise force CPU regardless of the ambient JAX_PLATFORMS (the driver
+# environment pins it to the TPU plugin; tests use the virtual 8-device CPU
+# mesh).
+TPU_MODE = os.environ.get("PHOVO_TPU_TESTS") == "1"
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -22,7 +28,26 @@ import pytest  # noqa: E402
 
 # A pytest plugin pre-imports jax before this conftest runs, freezing the
 # env-var snapshot — the explicit config update still works.
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-device kernel regression tests (run with "
+        "PHOVO_TPU_TESTS=1 python -m pytest -m tpu)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if not TPU_MODE:
+        skip = pytest.mark.skip(
+            reason="on-device test: PHOVO_TPU_TESTS=1 python -m pytest -m tpu"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 # Persistent compilation cache: the alignment graphs (multi-level pyramids +
 # while_loop solvers) are expensive to compile on the CPU backend; caching

@@ -260,7 +260,7 @@ def test_tdist_fused_level_matches_xla_solver():
     gx = scharr(I1, "x", 0.0625)
     gy = scharr(I1, "y", 0.0625)
 
-    st, its, gnorm, cost, nvalid = fused_ops.fused_gn_level(
+    st, its, gnorm, cost, nvalid, _masked = fused_ops.fused_gn_level(
         I0, D0, fused_ops.pack_target_colmajor(I1, gx, gy), INTR,
         jnp.zeros(6), 0.3, 5.0,
         max_iterations=6, min_gradient_norm=1e-10, lambda_step=1.0,
