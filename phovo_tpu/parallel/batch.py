@@ -57,10 +57,14 @@ def align_batch(
 
 def make_data_parallel_aligner(mesh: Mesh, config: PhovoConfig, use_fused: bool = False):
     """Returns align(batch...) with the batch dimension sharded over the
-    mesh 'data' axis. Inputs may be any (B, H, W) arrays with B divisible by
-    the data-axis size; outputs are replicated (6,)-per-pair states."""
+    mesh 'data' axis. Any (B, H, W) batch is accepted: a B not divisible by
+    the data-axis size is padded by repeating the last pair (each padded
+    pair is an independent vmapped alignment, so the real pairs' results
+    are bit-identical to the divisible case) and the outputs are sliced
+    back to B. Outputs are replicated (6,)-per-pair states."""
     data_sharded = NamedSharding(mesh, P(DATA_AXIS, None, None))
     state_sharded = NamedSharding(mesh, P(DATA_AXIS, None))
+    n_data = mesh.shape[DATA_AXIS]
 
     @functools.partial(
         jax.jit,
@@ -70,7 +74,22 @@ def make_data_parallel_aligner(mesh: Mesh, config: PhovoConfig, use_fused: bool 
     def align(si, sd, ti, td, intr, init_states):
         return align_batch(si, sd, ti, td, intr, init_states, config, use_fused)
 
-    return align
+    def align_any_batch(si, sd, ti, td, intr, init_states):
+        B = si.shape[0]
+        pad = (-B) % n_data
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+            si, sd, ti, td, init_states = (
+                rep(si), rep(sd), rep(ti), rep(td), rep(init_states),
+            )
+        res = align(si, sd, ti, td, intr, init_states)
+        if pad:
+            res = jax.tree.map(lambda x: x[:B], res)
+        return res
+
+    return align_any_batch
 
 
 @functools.partial(jax.jit, static_argnames=("config", "use_fused", "warm_start"))
