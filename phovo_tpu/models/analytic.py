@@ -296,6 +296,102 @@ def track_sequence_chunk(
     return results
 
 
+def multi_kernel_eligible(config: PhovoConfig, shape, S: int) -> bool:
+    """True when every ACTIVE pyramid level of `config` at frame `shape`
+    fits the multi-stream kernel (S streams' level data VMEM-resident,
+    height within the Pallas cap, supported objective)."""
+    if config.robust_loss == "tdist":
+        return False
+    H, W = shape
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape((H, W), level)
+        if h > fused_ops.FUSED_MAX_H:
+            return False
+        esm = config.gradient_at == "esm"
+        if fused_ops.multi_stream_vmem_bytes(S, h, w, esm) > (
+            fused_ops.MULTI_VMEM_BUDGET
+        ):
+            return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def align_batch_fused(
+    source_intensity: jax.Array,  # (S, H, W)
+    source_depth: jax.Array,
+    target_intensity: jax.Array,
+    target_depth: jax.Array,  # unused (reference SetTargetFrame ignores depth)
+    intr: Intrinsics,
+    init_states: jax.Array,  # (S, 6)
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """S independent alignments advanced by ONE multi-stream kernel per
+    level (ops/fused.py fused_gn_level_multi) instead of a vmapped grid
+    axis — the serving/batch fast path attacking the serial-iteration
+    ceiling (BASELINE.md roofline: one chip saturates at ~3.5k pairs/s
+    because each alignment is latency-bound; one kernel advancing S chains
+    amortizes the per-iteration launch/VPU overhead across streams).
+
+    Callers must gate on multi_kernel_eligible(config, (H, W), S); use
+    align_batch (vmap) otherwise. Pyramid/gradient builds are batched XLA.
+    Returns a batched AlignmentResult (leading dim S).
+    """
+    del target_depth
+    source_intensity = device_unit_intensity(source_intensity)
+    target_intensity = device_unit_intensity(target_intensity)
+    S = source_intensity.shape[0]
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    int0 = pyr.build_pyramid(source_intensity, L, blur, blur_type=config.blur_type)
+    dep0 = pyr.build_pyramid(source_depth, L, None)
+    int1 = pyr.build_pyramid(target_intensity, L, blur, blur_type=config.blur_type)
+    gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
+    esm = config.gradient_at == "esm"
+    if esm:
+        gx0, gy0 = pyr.build_gradient_pyramid(int0, tuple(config.gradient_scales))
+
+    states = jnp.asarray(init_states, jnp.float32).reshape(S, 6)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((S,), jnp.int32), jnp.zeros((S,)), jnp.zeros((S,)),
+        jnp.zeros((S,)), jnp.zeros((S,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        intr_l = intr.at_level(level)
+        tgt = jnp.concatenate(
+            [int1[level], gx1[level], gy1[level]], axis=-2
+        )  # (S, 3h, w)
+        st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level_multi(
+            int0[level], dep0[level], tgt, intr_l, states,
+            config.min_depth, config.max_depth,
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode,
+            robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta,
+            source_grads=(gx0[level], gy0[level]) if esm else None,
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack([d[4] for d in diags], axis=1),
+    )
+
+
 class PhotoconsistencyOdometryAnalytic(PhotoconsistencyOdometryBase):
     """Object API over `align_analytic` (reference class:
     CPhotoconsistencyOdometryAnalytic, …Analytic.h:57)."""

@@ -382,6 +382,7 @@ def _linearize_gram(
     i0_ref, geom_ref, t_all_ref,
     bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
     robust_loss="none", robust_delta=0.1, esm=False,
+    i0_row=0, geom_row=0, t_row=0,
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
@@ -418,15 +419,19 @@ def _linearize_gram(
     dR21y, dR22y = cp * cr, -cp * sr
 
     n_tiles = NP // NT
+    # multi-stream layout (fused_gn_level_multi): stream s's rows live at
+    # static offsets i0_row/geom_row/t_row inside the stacked refs; the
+    # single-stream kernels pass 0 and the slices collapse to the originals
+    GR = 6 if esm else 4
 
     def tile_gram(step):
         if n_tiles == 1:
-            g4 = geom_ref[:]  # (4, NT)
-            i0 = i0_ref[:]
+            g4 = geom_ref[geom_row:geom_row + GR, :]
+            i0 = i0_ref[i0_row:i0_row + 1, :]
         else:
             off = pl.multiple_of(step * NT, 128)
-            g4 = geom_ref[:, pl.ds(off, NT)]
-            i0 = i0_ref[:, pl.ds(off, NT)]
+            g4 = geom_ref[geom_row:geom_row + GR, pl.ds(off, NT)]
+            i0 = i0_ref[i0_row:i0_row + 1, pl.ds(off, NT)]
         px = g4[0:1]
         py = g4[1:2]
         pz = g4[2:3]
@@ -550,10 +555,14 @@ def _linearize_gram(
         CH = 6 if bi else 3
         if BAND < H:
             blocks = [
-                t_all_ref[pl.ds(ch * H + band, BAND), :] for ch in range(CH)
+                t_all_ref[pl.ds(t_row + ch * H + band, BAND), :]
+                for ch in range(CH)
             ]  # CH x (BAND, W)
         else:
-            blocks = [t_all_ref[ch * H:(ch + 1) * H, :] for ch in range(CH)]
+            blocks = [
+                t_all_ref[t_row + ch * H:t_row + (ch + 1) * H, :]
+                for ch in range(CH)
+            ]
         if mix_mode == "bf16x2g":
             C_ch = _split_sample(
                 blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
@@ -1271,6 +1280,241 @@ def fused_gn_level(
         diag[0, 2],
         diag[0, 3],
         diag[0, 4],
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-stream whole-level kernel (S independent alignments per call)
+# ---------------------------------------------------------------------------
+
+
+def _fused_gn_multi_kernel(
+    state_ref, const_ref, i0_ref, geom_ref, t_all_ref,
+    state_out_ref, diag_out_ref,
+    *, S, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm,
+    lambda_step, mix_mode="f32", robust_loss="none", robust_delta=0.1,
+    esm=False,
+):
+    """S INDEPENDENT photometric GN alignments advanced by ONE kernel.
+
+    Motivation (BASELINE.md roofline): a single alignment is bounded by its
+    SERIAL iteration chain (~3.6 us/iteration of mask-build + dots + scalar
+    solve), not by MXU throughput — the chip saturates at ~3.5k VGA pairs/s
+    however the work arrives, because vmap turns the batch into a
+    serializing Pallas grid axis and per-kernel launch overhead repeats.
+    Here one kernel instance holds S streams' level data VMEM-resident and
+    advances all S chains inside a single lax.while_loop: the S per-stream
+    column-mix dots issue back-to-back (the MXU pipeline stays busy while
+    the VPU builds the next stream's masks) and all launch/bookkeeping
+    overhead is paid once per iteration instead of S times.
+
+    Note the literal MXU-pass sharing suggested in round-1 review (stacking
+    S streams' target bands into the dot's M axis like the channel stack)
+    is NOT possible: the column-mix weights (W, NT) encode each stream's
+    OWN warped coordinates, so streams cannot share a single rhs — stacking
+    lhs rows against one rhs would sample stream A's target at stream B's
+    warp. The win available is latency/VPU amortization, implemented here.
+
+    All streams share one config (schedule, sampling, intrinsics — the
+    serving rig case). Per-stream termination: a stream whose gradient norm
+    drops below the threshold freezes (state and diagnostics stop
+    updating); the loop runs until every stream froze or the shared
+    iteration budget is spent. Frozen streams still compute their
+    linearization (predicating MXU work in-kernel costs more than it
+    saves at these sizes); their updates are masked out.
+
+    state_ref (S, 8) SMEM rows [x y z yaw pitch roll, 0, 0];
+    i0_ref (S, NP); geom_ref (S*GR, NP) stream-major (GR = 4, or 6 with
+    esm); t_all_ref (S*3H, W) stream-major channel stacks.
+    Outputs: state_out_ref (S, 8); diag_out_ref (S, 8) rows
+    [iterations, ||g||, cost, num_valid, band_masked, 0, 0, 0].
+    """
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    GR = 6 if esm else 4
+
+    def linearize(s_idx, s0, s1, s2, s3, s4, s5):
+        return _linearize_gram(
+            s0, s1, s2, s3, s4, s5, fx, fy, cx, cy,
+            i0_ref, geom_ref, t_all_ref,
+            H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+            robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
+            i0_row=s_idx, geom_row=s_idx * GR, t_row=s_idx * 3 * H,
+        )
+
+    # carry layout: per stream 11 scalars
+    # [x y z yaw pitch roll, it, gnorm, cost, nvalid, masked]
+    PER = 11
+
+    def active(carry, s):
+        it = carry[s * PER + 6]
+        gnorm = carry[s * PER + 7]
+        return (it < max_iterations) & (gnorm >= min_gradient_norm)
+
+    def cond(carry):
+        a = active(carry, 0)
+        for s in range(1, S):
+            a = a | active(carry, s)
+        return a
+
+    def body(carry):
+        out = list(carry)
+        for s in range(S):
+            st = tuple(carry[s * PER + k] for k in range(6))
+            gram, n_masked = linearize(s, *st)
+            A = [[gram[i, j] for j in range(6)] for i in range(6)]
+            b = [gram[i, 6] for i in range(6)]
+            cost = gram[6, 6]
+            nvalid = gram[7, 7]
+            xs = _chol_solve6(A, b)
+            finite = jnp.isfinite(xs[0])
+            for k in range(1, 6):
+                finite = finite & jnp.isfinite(xs[k])
+            act = active(carry, s)
+            upd = act & finite
+            for k in range(6):
+                out[s * PER + k] = jnp.where(
+                    upd, st[k] - lambda_step * xs[k], st[k]
+                )
+            gnorm = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
+            out[s * PER + 6] = carry[s * PER + 6] + jnp.where(act, 1.0, 0.0)
+            out[s * PER + 7] = jnp.where(act, gnorm, carry[s * PER + 7])
+            out[s * PER + 8] = jnp.where(act, cost, carry[s * PER + 8])
+            out[s * PER + 9] = jnp.where(act, nvalid, carry[s * PER + 9])
+            out[s * PER + 10] = jnp.where(
+                act, jnp.maximum(carry[s * PER + 10], n_masked),
+                carry[s * PER + 10],
+            )
+        return tuple(out)
+
+    init = []
+    for s in range(S):
+        init.extend(state_ref[s, k] for k in range(6))
+        init.extend(
+            (jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0))
+        )
+    final = jax.lax.while_loop(cond, body, tuple(init))
+    for s in range(S):
+        for k in range(6):
+            state_out_ref[s, k] = final[s * PER + k]
+        state_out_ref[s, 6] = jnp.float32(0.0)
+        state_out_ref[s, 7] = jnp.float32(0.0)
+        diag_out_ref[s, 0] = final[s * PER + 6]
+        g = final[s * PER + 7]
+        diag_out_ref[s, 1] = jnp.where(jnp.isfinite(g), g, 0.0)
+        diag_out_ref[s, 2] = final[s * PER + 8]
+        diag_out_ref[s, 3] = final[s * PER + 9]
+        diag_out_ref[s, 4] = final[s * PER + 10]
+        for k in range(5, 8):
+            diag_out_ref[s, k] = jnp.float32(0.0)
+
+
+def multi_stream_vmem_bytes(S: int, H: int, W: int, esm: bool = False) -> int:
+    """Rough resident VMEM footprint of fused_gn_level_multi's stacked
+    inputs (the working set per tile is on top, ~2-3 MB)."""
+    NP, _ = _pick_tile_pixels(H, W)
+    GR = 6 if esm else 4
+    return 4 * S * (3 * H * W + GR * NP + NP)
+
+
+MULTI_VMEM_BUDGET = 11_000_000  # leave ~5 MB of the 16 MB for working set
+
+
+def fused_gn_level_multi(
+    source_intensity,  # (S, H, W)
+    source_depth,  # (S, H, W)
+    tgt_cols,  # (S, 3H, W) per-stream channel-major stacks
+    intr,
+    init_states,  # (S, 6)
+    min_depth, max_depth,
+    max_iterations: int, min_gradient_norm: float, lambda_step: float,
+    sampling: str = "nearest", interpret: bool = False,
+    mix_mode: str = "f32",
+    robust_loss: str = "none", robust_delta: float = 0.1,
+    source_grads=None,  # (gx0, gy0) each (S, H, W) for ESM
+):
+    """Run ONE whole GN pyramid level for S independent alignments in a
+    single pallas call (see _fused_gn_multi_kernel rationale).
+
+    Returns (states (S, 6), iterations (S,), gradient_norm (S,),
+    cost (S,), num_valid (S,), band_masked (S,)). Callers should gate on
+    multi_stream_vmem_bytes(S, H, W) <= MULTI_VMEM_BUDGET and fall back to
+    per-stream kernels / the XLA path when the stacked level data would not
+    fit VMEM (e.g. many streams at full VGA level 0).
+    """
+    S, H, W = source_intensity.shape
+    NP, NT = _pick_tile_pixels(H, W)
+    esm = source_grads is not None
+    kernel = functools.partial(
+        _fused_gn_multi_kernel, S=S, H=H, W=W, NT=NT, NP=NP,
+        bilinear=(sampling == "bilinear"),
+        max_iterations=float(max_iterations),
+        min_gradient_norm=float(min_gradient_norm),
+        lambda_step=float(lambda_step), mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=float(robust_delta), esm=esm,
+    )
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+    st = jnp.concatenate(
+        [
+            jnp.asarray(init_states, jnp.float32).reshape(S, 6),
+            jnp.zeros((S, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    i0 = jax.vmap(lambda a: _pad_flat(a.reshape(1, H * W), NP)[0])(
+        source_intensity
+    )  # (S, NP)
+    if esm:
+        geom = jnp.concatenate(
+            [
+                pack_geometry(
+                    source_depth[s], intr, min_depth, max_depth, NP,
+                    (source_grads[0][s], source_grads[1][s]),
+                )
+                for s in range(S)
+            ],
+            axis=0,
+        )
+    else:
+        geom = jnp.concatenate(
+            [
+                pack_geometry(source_depth[s], intr, min_depth, max_depth, NP)
+                for s in range(S)
+            ],
+            axis=0,
+        )  # (S*GR, NP)
+    t_all = jnp.asarray(tgt_cols).reshape(S * 3 * H, W)
+    state_out, diag = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, 8), jnp.float32),
+            jax.ShapeDtypeStruct((S, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(st, const, i0, geom, t_all)
+    return (
+        state_out[:, :6],
+        diag[:, 0].astype(jnp.int32),
+        diag[:, 1],
+        diag[:, 2],
+        diag[:, 3],
+        diag[:, 4],
     )
 
 

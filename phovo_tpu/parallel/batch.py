@@ -121,6 +121,57 @@ def align_sequences(
     return res, poses
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "warm_start", "interpret")
+)
+def align_sequences_multi(
+    intensities: jax.Array,  # (S, T, H, W) — S independent camera streams
+    depths: jax.Array,  # (S, T, H, W)
+    intr: Intrinsics,  # scalars (shared rig — the multi kernel requirement)
+    config: PhovoConfig,
+    warm_start: bool = False,
+    interpret: bool = False,
+):
+    """align_sequences through the MULTI-STREAM kernel: one lax.scan over
+    time, each step advancing all S streams' alignments with ONE
+    fused_gn_level_multi call per level (models/analytic.align_batch_fused)
+    instead of vmap's serializing grid axis.
+
+    This is the serving-throughput shape attacking the serial-iteration
+    ceiling (BASELINE.md: ~3.5k pairs/s however the work arrives): the S
+    per-stream MXU dots issue back-to-back inside one kernel, so the
+    per-iteration launch/VPU overhead is paid once, not S times. Callers
+    must gate on models.analytic.multi_kernel_eligible(config, (H, W), S)
+    and shared scalar intrinsics; fall back to align_sequences otherwise.
+
+    Returns (AlignmentResult with leading dims (S, T-1), global poses
+    (S, T-1, 4, 4)) — identical contract to align_sequences.
+    """
+    from phovo_tpu.models.analytic import align_batch_fused
+
+    S = intensities.shape[0]
+
+    def step(carry, frames):
+        si, sd, ti, td = frames
+        init = carry if warm_start else jnp.zeros((S, 6), jnp.float32)
+        res = align_batch_fused(
+            si, sd, ti, td, intr, init, config, interpret
+        )
+        return res.state, res
+
+    xs = tuple(
+        jnp.swapaxes(a, 0, 1)  # (T-1, S, H, W) so scan walks time
+        for a in (
+            intensities[:, :-1], depths[:, :-1],
+            intensities[:, 1:], depths[:, 1:],
+        )
+    )
+    _, results = jax.lax.scan(step, jnp.zeros((S, 6), jnp.float32), xs)
+    res = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), results)
+    poses = jax.vmap(se3.integrate_trajectory)(res.state)
+    return res, poses
+
+
 def make_multi_sequence_server(
     mesh: Mesh,
     config: PhovoConfig,

@@ -143,7 +143,8 @@ def _linearize(problem: PhotometricBAProblem, intr: Intrinsics):
     return r, A, B, iw, jw
 
 
-def _accumulate(problem, intr, M, Pn, vma_axes=(), robust_delta=None):
+def _accumulate(problem, intr, M, Pn, vma_axes=(), robust_delta=None,
+                sparse=False):
     r, A, B, iw, jw = _linearize(problem, intr)
     if robust_delta is not None:
         # Huber IRLS on the weighted per-observation residual norm: caps the
@@ -162,18 +163,29 @@ def _accumulate(problem, intr, M, Pn, vma_axes=(), robust_delta=None):
     Btr = jnp.einsum("kai,ka->ki", B, r, precision=hp)
     U0 = jnp.zeros((M, 6, 6), jnp.float32)
     V0 = jnp.zeros((Pn, 3, 3), jnp.float32)
-    W0 = jnp.zeros((M, Pn, 6, 3), jnp.float32)
     v0 = jnp.zeros((M, 6), jnp.float32)
     w0 = jnp.zeros((Pn, 3), jnp.float32)
+    seeds = [U0, V0, v0, w0]
+    if not sparse:
+        seeds.append(jnp.zeros((M, Pn, 6, 3), jnp.float32))
     if vma_axes:
-        U0, V0, W0, v0, w0 = (
-            jax.lax.pcast(a, vma_axes, to="varying")
-            for a in (U0, V0, W0, v0, w0)
+        seeds = [jax.lax.pcast(a, vma_axes, to="varying") for a in seeds]
+    U0, V0, v0, w0 = seeds[:4]
+    if sparse:
+        # per-observation coupling blocks instead of the dense W scatter
+        # (bundle_adjustment._schur_step_sparse contract)
+        return (
+            U0.at[iw].add(AtA),
+            V0.at[jw].add(BtB),
+            AtB,
+            v0.at[iw].add(Atr),
+            w0.at[jw].add(Btr),
+            jnp.sum(r * r),
         )
     return (
         U0.at[iw].add(AtA),
         V0.at[jw].add(BtB),
-        W0.at[iw, jw].add(AtB),
+        seeds[4].at[iw, jw].add(AtB),
         v0.at[iw].add(Atr),
         w0.at[jw].add(Btr),
         jnp.sum(r * r),
@@ -188,8 +200,13 @@ def optimize_photometric_bundle(
     damping: float = 1e-4,
     fixed_first: bool = True,
     robust_delta: float | None = None,
+    schur: str = "dense",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Joint photometric refinement of keyframe poses and landmarks.
+
+    schur='sparse' runs the pair-list Schur fill without materializing the
+    (M, P, 6, 3) dense W (parallel/bundle_adjustment.py
+    _schur_step_sparse) — the map-scale window path.
 
     robust_delta enables a Huber IRLS weight on each observation's weighted
     residual norm (photometric rows are in intensity units, depth rows in
@@ -218,8 +235,16 @@ def optimize_photometric_bundle(
                 [problem.z_weights, jnp.zeros(pad, jnp.float32)]
             ),
         )
+    if schur not in ("dense", "sparse"):
+        raise ValueError(f"schur={schur!r}; expected 'dense' or 'sparse'")
+    if schur == "sparse":
+        from phovo_tpu.parallel.bundle_adjustment import build_schur_pairs
+
+        pair_a, pair_b = build_schur_pairs(problem.obs_pose, problem.obs_point)
+    else:
+        pair_a = pair_b = None
     return _optimize_photometric_jit(
-        problem, intr, jnp.float32(damping),
+        problem, intr, jnp.float32(damping), pair_a, pair_b,
         mesh=mesh, iterations=iterations, fixed_first=fixed_first,
         robust_delta=robust_delta,
     )
@@ -230,7 +255,8 @@ def optimize_photometric_bundle(
     static_argnames=("mesh", "iterations", "fixed_first", "robust_delta"),
 )
 def _optimize_photometric_jit(
-    problem, intr, damping, *, mesh, iterations, fixed_first, robust_delta
+    problem, intr, damping, pair_a, pair_b,
+    *, mesh, iterations, fixed_first, robust_delta
 ):
     """Jitted core with the window as an ARGUMENT: a closure-captured window
     would bake the keyframe IMAGES into the program as constants — every
@@ -239,9 +265,13 @@ def _optimize_photometric_jit(
     (M, H, W, P, K) shape share a single cached program."""
     M = problem.pose_states.shape[0]
     Pn = problem.points.shape[0]
+    sparse = pair_a is not None
 
     if mesh is not None:
         spec = P(mesh.axis_names)
+        out_specs = (
+            (P(), P(), spec, P(), P(), P()) if sparse else (P(),) * 6
+        )
 
         @functools.partial(
             jax.shard_map,
@@ -249,7 +279,7 @@ def _optimize_photometric_jit(
             # intrinsics/images/reference intensities replicate;
             # observations shard
             in_specs=(P(), P(), P(), P(), P(), P(), spec, spec, spec, spec),
-            out_specs=(P(),) * 6,
+            out_specs=out_specs,
         )
         def accumulate(
             states, points, intr_r, imgs, deps, ref, op_s, ol_s, w_s, zw_s
@@ -260,11 +290,16 @@ def _optimize_photometric_jit(
                 obs_point=ol_s, weights=w_s, z_weights=zw_s,
             )
             blocks = _accumulate(
-                prob, intr_r, M, Pn, tuple(mesh.axis_names), robust_delta
+                prob, intr_r, M, Pn, tuple(mesh.axis_names), robust_delta,
+                sparse=sparse,
             )
-            return tuple(jax.lax.psum(b, mesh.axis_names) for b in blocks)
+            return tuple(
+                b if (sparse and k == 2)
+                else jax.lax.psum(b, mesh.axis_names)
+                for k, b in enumerate(blocks)
+            )
 
-        def build(states, points):
+        def raw_build(states, points):
             return accumulate(
                 states, points, intr, problem.intensities, problem.depths,
                 problem.ref_intensity, problem.obs_pose, problem.obs_point,
@@ -273,17 +308,35 @@ def _optimize_photometric_jit(
 
     else:
 
-        def build(states, points):
+        def raw_build(states, points):
             return _accumulate(
                 problem._replace(pose_states=states, points=points),
-                intr, M, Pn, robust_delta=robust_delta,
+                intr, M, Pn, robust_delta=robust_delta, sparse=sparse,
             )
 
-    from phovo_tpu.parallel.bundle_adjustment import _lm_iterate
+    from phovo_tpu.parallel.bundle_adjustment import (
+        _lm_iterate, _schur_step, _schur_step_sparse,
+    )
+
+    if sparse:
+        valid = problem.obs_pose >= 0
+        iw = jnp.where(valid, problem.obs_pose, 0)
+        jw = jnp.where(valid, problem.obs_point, 0)
+
+        def build(states, points):
+            U, V, AtB, vv, ww, cost = raw_build(states, points)
+            return (U, V, AtB, iw, jw, vv, ww, cost)
+
+        step_fn = functools.partial(
+            _schur_step_sparse, pair_a=pair_a, pair_b=pair_b
+        )
+    else:
+        build = raw_build
+        step_fn = _schur_step
 
     return _lm_iterate(
         build, problem.pose_states, problem.points, iterations, damping,
-        fixed_first,
+        fixed_first, step_fn=step_fn,
     )
 
 

@@ -370,3 +370,153 @@ def test_band_masked_surfaces_in_alignment_result(intr, small_pair):
     assert np.all(bm >= 0) and np.all(np.isfinite(bm))
     # small-motion synthetic pair: nothing should be masked
     assert float(bm.max()) <= 0.001 * float(np.asarray(res.num_valid).max())
+
+
+def test_multi_stream_kernel_matches_per_stream(intr):
+    """fused_gn_level_multi (S alignments in ONE kernel) must produce each
+    stream's state/diagnostics identical to S separate fused_gn_level
+    calls (same config, per-stream termination)."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.ops.camera import Intrinsics
+    from phovo_tpu.utils.synthetic import make_pair
+
+    S = 3
+    big = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    I0s, D0s, tgts, inits = [], [], [], []
+    for s in range(S):
+        gt_state = np.array(
+            [0.02 + 0.01 * s, -0.015, 0.01, 0.008, -0.006 + 0.004 * s, 0.01],
+            np.float32,
+        )
+        I0, D0, I1, D1, gt = make_pair(big, shape=(128, 160), state=gt_state)
+        I0, D0, I1 = map(jnp.asarray, (I0, D0, I1))
+        gx = I1 * (0.2 + 0.1 * s) + 0.05
+        gy = I1 * (-0.15 - 0.05 * s) + 0.02
+        I0s.append(I0)
+        D0s.append(D0)
+        tgts.append(F.pack_target_colmajor(I1, gx, gy))
+        inits.append(np.array([0.01 * s, 0, 0, 0, 0.005 * s, 0], np.float32))
+
+    st_m, it_m, g_m, c_m, nv_m, bm_m = F.fused_gn_level_multi(
+        jnp.stack(I0s), jnp.stack(D0s), jnp.stack(tgts), big,
+        jnp.asarray(np.stack(inits)), 0.3, 5.0,
+        max_iterations=6, min_gradient_norm=1e-3, lambda_step=1.0,
+        sampling="nearest", interpret=True,
+    )
+    for s in range(S):
+        st, its, gnorm, cost, nvalid, masked = F.fused_gn_level(
+            I0s[s], D0s[s], tgts[s], big, jnp.asarray(inits[s]), 0.3, 5.0,
+            max_iterations=6, min_gradient_norm=1e-3, lambda_step=1.0,
+            sampling="nearest", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_m[s]), np.asarray(st), atol=1e-6,
+            err_msg=f"stream {s} state",
+        )
+        assert int(it_m[s]) == int(its), (s, int(it_m[s]), int(its))
+        np.testing.assert_allclose(float(c_m[s]), float(cost), rtol=1e-6)
+        assert float(nv_m[s]) == float(nvalid)
+
+
+def test_align_batch_fused_matches_align_batch(intr):
+    """The multi-stream batched aligner (one multi-kernel per level) must
+    match per-pair align_analytic on every stream."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.models.analytic import (
+        align_analytic, align_batch_fused, multi_kernel_eligible,
+    )
+    from phovo_tpu.utils.config import PhovoConfig
+    from phovo_tpu.utils.synthetic import make_pair
+
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(4, 6), lambda_steps=(1.0,) * 2,
+        min_gradient_norms=(1e-10,) * 2, sampling="nearest",
+    )
+    S = 3
+    assert multi_kernel_eligible(cfg, (96, 128), S)
+    Is0, Ds0, Is1, Ds1 = [], [], [], []
+    for s in range(S):
+        st = np.array(
+            [0.02 - 0.01 * s, -0.015, 0.01 + 0.005 * s, 0.008, -0.006, 0.01],
+            np.float32,
+        )
+        I0, D0, I1, D1, _ = make_pair(intr, shape=(96, 128), state=st)
+        Is0.append(I0); Ds0.append(D0); Is1.append(I1); Ds1.append(D1)
+    batch = align_batch_fused(
+        jnp.asarray(np.stack(Is0)), jnp.asarray(np.stack(Ds0)),
+        jnp.asarray(np.stack(Is1)), jnp.asarray(np.stack(Ds1)),
+        intr, jnp.zeros((S, 6)), cfg, interpret=True,
+    )
+    assert batch.state.shape == (S, 6)
+    for s in range(S):
+        # S=1 multi-kernel run isolates the batching logic (stream offsets,
+        # stacking); kernel-vs-XLA equivalence is covered by
+        # test_fused_gn_level_interpret_matches_solver
+        one = align_batch_fused(
+            jnp.asarray(Is0[s])[None], jnp.asarray(Ds0[s])[None],
+            jnp.asarray(Is1[s])[None], jnp.asarray(Ds1[s])[None],
+            intr, jnp.zeros((1, 6)), cfg, interpret=True,
+        )
+        # 5e-6: batched-vs-single pyramid conv reduction rounding compounds
+        # over the GN iterations; the kernel math itself is identical
+        # (test_multi_stream_kernel_matches_per_stream pins it at 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(batch.state[s]), np.asarray(one.state[0]), atol=5e-6,
+            err_msg=f"stream {s}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch.iterations[s]), np.asarray(one.iterations[0])
+        )
+        # and the multi-kernel end-to-end result stays consistent with the
+        # XLA path (banded-window + reduction-order divergence bounded)
+        xla = align_analytic(
+            jnp.asarray(Is0[s]), jnp.asarray(Ds0[s]),
+            jnp.asarray(Is1[s]), jnp.asarray(Ds1[s]),
+            intr, jnp.zeros(6), cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.state[s]), np.asarray(xla.state), atol=3e-3,
+            err_msg=f"stream {s} vs XLA",
+        )
+
+
+def test_align_sequences_multi_matches_vmap_path(intr):
+    """Serving through the multi-stream kernel must agree with the vmapped
+    align_sequences contract (same shapes, equivalent trajectories)."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.parallel.batch import align_sequences, align_sequences_multi
+    from phovo_tpu.utils.config import PhovoConfig
+    from phovo_tpu.utils.synthetic import make_sequence
+
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(4, 6), lambda_steps=(1.0,) * 2,
+        min_gradient_norms=(1e-10,) * 2, sampling="nearest",
+    )
+    S, T = 2, 4
+    streams_I, streams_D = [], []
+    for s in range(S):
+        I, D, _, _ = make_sequence(intr, (96, 128), T, 1.0, seed=s)
+        streams_I.append(np.stack(I))
+        streams_D.append(np.stack(D))
+    I = jnp.asarray(np.stack(streams_I))
+    D = jnp.asarray(np.stack(streams_D))
+
+    res_m, poses_m = align_sequences_multi(I, D, intr, cfg, interpret=True)
+    res_v, poses_v = align_sequences(I, D, intr, cfg, use_fused=False)
+    assert res_m.state.shape == (S, T - 1, 6)
+    assert poses_m.shape == (S, T - 1, 4, 4)
+    # multi-kernel vs XLA path: banded-window divergence bounded
+    np.testing.assert_allclose(
+        np.asarray(res_m.state), np.asarray(res_v.state), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_m[..., :3, 3]), np.asarray(poses_v[..., :3, 3]),
+        atol=5e-3,
+    )
