@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-diff-dir", default=None,
                    help="write per-frame |target - warped source| PNGs here "
                         "(the reference's imshow diagnostic, rendered to disk)")
+    p.add_argument("--robust-loss", default=None,
+                   choices=["none", "huber", "cauchy", "tukey", "tdist"],
+                   help="override the config's robust loss (occlusion/"
+                        "dynamic-object outlier handling; ops/robust.py)")
+    p.add_argument("--robust-delta", type=float, default=None,
+                   help="override the config's robust loss delta "
+                        "(residual units, intensity 0..1)")
     p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2g", "bf16x2", "bf16"],
                    help="sampling-matmul precision in the fused TPU kernels "
                         "(overrides the config; bf16x2 is ~1.4x faster "
@@ -124,7 +131,10 @@ def _main(argv=None) -> int:
 
     from phovo_tpu.utils.config import override_config
 
-    cfg = override_config(load_config(args.config), mix_mode=args.mix_mode)
+    cfg = override_config(
+        load_config(args.config), mix_mode=args.mix_mode,
+        robust_loss=args.robust_loss, robust_delta=args.robust_delta,
+    )
     intr = parse_intrinsics(args.intrinsics)
 
     from phovo_tpu.datasets import native_loader

@@ -15,6 +15,7 @@ from phovo_tpu.utils.trajectory import format_pose_line
 
 ROOT = Path("/tmp/phovo_e2e_seq")
 LOOP_ROOT = Path("/tmp/phovo_e2e_loop")
+CLUTTER_ROOT = Path("/tmp/phovo_e2e_clutter")
 N = 120
 SHAPE = (480, 640)
 
@@ -58,9 +59,43 @@ def _build(root, state_fn):
     (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
 
 
+def _build_cluttered(root):
+    """Adversarial TUM-format dataset: occluding multi-object scene, depth
+    noise/holes/quantization, exposure drift (utils/synthetic
+    make_cluttered_sequence) — the photometric-violation regime real TUM
+    data lives in (VERDICT r1 item 2)."""
+    if (root / "rgb.txt").exists():
+        return
+    from phovo_tpu.utils.synthetic import make_cluttered_sequence
+
+    (root / "rgb").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(parents=True, exist_ok=True)
+    I, D, gts, _ = make_cluttered_sequence(
+        TUM_FR1, SHAPE, n_frames=N, motion_scale=1.0, seed=0
+    )
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for k in range(N):
+        ts = 1000.0 + 0.05 * k
+        cv2.imwrite(
+            str(root / "rgb" / f"{ts:.6f}.png"),
+            (I[k] * 255).astype(np.uint8),
+        )
+        cv2.imwrite(
+            str(root / "depth" / f"{ts:.6f}.png"),
+            np.clip(D[k] * 5000.0, 0, 65535).astype(np.uint16),
+        )
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+        depth_lines.append(f"{ts:.6f} depth/{ts:.6f}.png")
+        gt_lines.append(format_pose_line(ts, gts[k]))
+    (root / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+
+
 def build_dataset():
     _build(ROOT, _forward_state)
     _build(LOOP_ROOT, _loop_state)
+    _build_cluttered(CLUTTER_ROOT)
 
 
 def run(label, args, root=ROOT):
@@ -98,7 +133,14 @@ def main():
         "--ba-iterations", "3"])
     rc |= run("loop-closure sequence (keyframe mode)", [
         "--output", "/tmp/e2e_traj_loop.txt", "--mode", "keyframe",
-        "--ba-iterations", "3"], root=LOOP_ROOT)
+        "--chunk", "16", "--ba-iterations", "3"], root=LOOP_ROOT)
+    rc |= run("cluttered+degraded sequence (robust chunked)", [
+        "--output", "/tmp/e2e_traj_clutter.txt", "--chunk", "64",
+        "--robust-loss", "huber"], root=CLUTTER_ROOT)
+    rc |= run("cluttered+degraded sequence (keyframe mode)", [
+        "--output", "/tmp/e2e_traj_clutter_kf.txt", "--mode", "keyframe",
+        "--chunk", "16", "--ba-iterations", "3",
+        "--robust-loss", "huber"], root=CLUTTER_ROOT)
     print("ALL OK" if rc == 0 else "FAILURES")
     return rc
 
