@@ -266,3 +266,28 @@ def test_run_chunked_matches_run(loop_sequence, chunk):
         assert a.frame_index == b.frame_index
         assert a.keyframe_index == b.keyframe_index
         np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+
+
+def test_batched_deferred_closures_match_serial(loop_sequence):
+    """The async batched closure dispatch (one vmapped align_batch per new
+    keyframe, gated lazily) must find the same loop closures with the same
+    relative transforms as the serial per-candidate fallback path."""
+    frames, _ = loop_sequence
+    ref = _make_kvo()
+    # force the serial per-candidate path: pretend the backend has no
+    # batched-closure context
+    ref._analytic_batch_context = lambda: None
+    list(ref.run(frames))
+    assert not ref._pending_closures
+
+    kvo = _make_kvo()
+    list(kvo.run(frames))
+    kvo.flush_loop_closures()
+
+    assert len(ref.loop_closures) >= 1  # the fixture loops back
+    assert [(lc.from_kf, lc.to_kf) for lc in kvo.loop_closures] == [
+        (lc.from_kf, lc.to_kf) for lc in ref.loop_closures
+    ]
+    for a, b in zip(kvo.loop_closures, ref.loop_closures):
+        np.testing.assert_allclose(a.relative, b.relative, atol=1e-5)
+        assert abs(a.mean_residual - b.mean_residual) < 1e-5
