@@ -614,7 +614,7 @@ class KeyframeVisualOdometry:
             refined, _, _ = optimize_photometric_bundle(
                 problem, intr, mesh=mesh, iterations=iterations,
                 damping=damping, fixed_first=True,
-                robust_delta=robust_delta,
+                robust_delta=robust_delta, schur="auto",
             )
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):

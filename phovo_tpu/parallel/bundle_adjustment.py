@@ -407,13 +407,24 @@ def optimize_bundle(
     same-landmark observation-pair list (build_schur_pairs) with segment
     scatter-adds, memory O(K * mean-track-length) instead of O(M*P) — the
     map-scale path (50k observations / 10k landmarks on chip).
+    schur='auto' picks dense while the W + WVinv intermediates fit a
+    256 MB budget and sparse beyond (measured crossover: dense wins on
+    time wherever it fits — tools/ba_scale_bench.py / BASELINE.md —
+    so the budget is purely a memory guard).
 
     With a mesh, observations are padded to a multiple of the flattened mesh
     size and sharded; each device accumulates its {U, V, W|AtB, v, w} blocks
     and one psum per iteration merges them. The Schur-reduced camera system
     is solved replicated (6M x 6M; M = keyframe-window size)."""
-    if schur not in ("dense", "sparse"):
-        raise ValueError(f"schur={schur!r}; expected 'dense' or 'sparse'")
+    if schur not in ("dense", "sparse", "auto"):
+        raise ValueError(
+            f"schur={schur!r}; expected 'dense', 'sparse', or 'auto'"
+        )
+    if schur == "auto":
+        M = int(problem.pose_states.shape[0])
+        P = int(problem.points.shape[0])
+        dense_w_bytes = 2 * M * P * 18 * 4  # W + WVinv intermediate
+        schur = "dense" if dense_w_bytes <= 256e6 else "sparse"
     K = problem.obs_pose.shape[0]
     if mesh is not None:
         n = 1

@@ -235,8 +235,15 @@ def optimize_photometric_bundle(
                 [problem.z_weights, jnp.zeros(pad, jnp.float32)]
             ),
         )
-    if schur not in ("dense", "sparse"):
-        raise ValueError(f"schur={schur!r}; expected 'dense' or 'sparse'")
+    if schur not in ("dense", "sparse", "auto"):
+        raise ValueError(
+            f"schur={schur!r}; expected 'dense', 'sparse', or 'auto'"
+        )
+    if schur == "auto":
+        M = int(problem.pose_states.shape[0])
+        P = int(problem.points.shape[0])
+        # same memory guard as optimize_bundle: dense wherever W fits
+        schur = "dense" if 2 * M * P * 18 * 4 <= 256e6 else "sparse"
     if schur == "sparse":
         from phovo_tpu.parallel.bundle_adjustment import build_schur_pairs
 

@@ -19,6 +19,11 @@ import json
 import time
 
 import jax
+
+from phovo_tpu.apps._bootstrap import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 
 from phovo_tpu.ops.camera import TUM_DEFAULT
@@ -26,13 +31,20 @@ from phovo_tpu.parallel.bundle_adjustment import (
     build_schur_pairs, make_synthetic_ba, optimize_bundle,
 )
 
-# (n_poses, n_points): dense visibility -> K = M*P observations
+# (n_poses, n_points, obs_per_pose): obs_per_pose=None -> dense visibility
+# (K = M*P, every pose sees every landmark — the keyframe-window regime);
+# an integer -> SPARSE visibility (each pose observes a random subset — the
+# map-scale regime where dense W = M*P*18 floats decouples from K and
+# becomes the memory wall the sparse segment-sum path exists to remove).
 CASES = [
-    (8, 500),
-    (8, 2000),
-    (8, 6000),
-    (5, 10_000),   # K = 50k obs / 10k landmarks — the acceptance case
-    (8, 10_000),
+    (8, 500, None),
+    (8, 2000, None),
+    (8, 6000, None),
+    (5, 10_000, None),   # K = 50k obs / 10k landmarks — the acceptance case
+    (8, 10_000, None),
+    (64, 20_000, 1000),   # K = 64k sparse; dense W ~184 MB
+    (128, 50_000, 800),   # K = 102k sparse; dense W ~922 MB
+    (256, 100_000, 500),  # K = 128k sparse; dense W ~3.7 GB -> dense skipped
 ]
 DENSE_W_GUARD = 1.5e9  # skip dense beyond ~1.5 GB of W + WVinv intermediates
 
@@ -45,16 +57,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     rows = []
-    for M, P in CASES:
+    for M, P, opp in CASES:
         problem, gt_states, _ = make_synthetic_ba(
             n_poses=M, n_points=P, state_noise=0.01, point_noise=0.01,
-            seed=0,
+            obs_per_point=opp, seed=0,
         )
         K = int(problem.obs_pose.shape[0])
         pa, _ = build_schur_pairs(problem.obs_pose, problem.obs_point)
         dense_w_bytes = 2 * M * P * 18 * 4  # W + WVinv intermediate
         row = {
             "n_poses": M, "n_points": P, "observations": K,
+            "visibility": "dense" if opp is None else f"sparse({opp}/pose)",
             "schur_pairs": int(pa.shape[0]),
             "dense_W_MB": round(dense_w_bytes / 1e6, 1),
             "platform": jax.devices()[0].platform,

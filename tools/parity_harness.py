@@ -29,6 +29,10 @@ import time
 
 import numpy as np
 
+from phovo_tpu.apps._bootstrap import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def _framework_backend(name: str, config):
     if name == "analytic":
