@@ -131,6 +131,9 @@ def main():
     rc |= run("keyframe + pose graph + photometric BA", [
         "--output", "/tmp/e2e_traj_kf.txt", "--mode", "keyframe",
         "--ba-iterations", "3"])
+    rc |= run("loop-closure sequence (frame mode — keyframe-wall denominator)", [
+        "--output", "/tmp/e2e_traj_loop_frame.txt", "--chunk", "16"],
+        root=LOOP_ROOT)
     rc |= run("loop-closure sequence (keyframe mode)", [
         "--output", "/tmp/e2e_traj_loop.txt", "--mode", "keyframe",
         "--chunk", "16", "--ba-iterations", "3"], root=LOOP_ROOT)
