@@ -354,7 +354,7 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         nonlocal pose, n_done
         m = len(states)
         for k in range(m):
-            Rt = np_.asarray(se3.pose_matrix(states[k].astype(np_.float64)))
+            Rt = se3.pose_matrix_np(states[k])
             pose = pose @ np_.linalg.inv(Rt)
             out.write(timestamps[k], pose)
             n_done += 1

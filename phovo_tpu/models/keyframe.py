@@ -168,7 +168,7 @@ class KeyframeVisualOdometry:
             )
             state = np.asarray(res.state)
             _, nvalid, lvl = self._finest_stats(res)
-            Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
+            Rt = se3.pose_matrix_np(state)
             rel = np.linalg.inv(Rt)  # kf -> frame camera motion in world terms
             pose = kf.pose @ rel
             tf = TrackedFrame(
@@ -279,7 +279,7 @@ class KeyframeVisualOdometry:
                 ran = np.nonzero(iters_k > 0)[0]
                 lvl = int(ran[0]) if len(ran) else 0
                 nvalid = float(np.asarray(res.num_valid[k])[lvl])
-                Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
+                Rt = se3.pose_matrix_np(state)
                 rel = np.linalg.inv(Rt)
                 pose = kf.pose @ rel
                 tf = TrackedFrame(
@@ -358,7 +358,7 @@ class KeyframeVisualOdometry:
             or mean_res > self.loop_max_mean_residual
         ):
             return
-        rel = np.linalg.inv(np.asarray(se3.pose_matrix(state.astype(np.float64))))
+        rel = np.linalg.inv(se3.pose_matrix_np(state))
         # Geometric-consistency gate: a measured relative pose that deviates
         # from the prediction by more than the plausible accumulated drift
         # is a wrong-basin alignment, not a closure.
@@ -412,10 +412,9 @@ class KeyframeVisualOdometry:
             # serial fallback through the object API (any backend)
             half = getattr(self.odometry, "COST_IS_HALF_SUM_SQ", False)
             for old, rel_pred in cands:
-                init = np.asarray(
-                    se3.matrix_to_state(jnp.asarray(np.linalg.inv(rel_pred))),
-                    np.float32,
-                )
+                init = se3.matrix_to_state_np(
+                    np.linalg.inv(rel_pred)
+                ).astype(np.float32)
                 res = self._align(
                     old.dev_intensity, old.dev_depth,
                     new_kf.dev_intensity, new_kf.dev_depth, init,
@@ -432,14 +431,9 @@ class KeyframeVisualOdometry:
         from phovo_tpu.parallel.batch import align_batch
 
         # one batched matrix->state conversion for all candidate inits
-        inits = np.asarray(
-            se3.matrix_to_state(
-                jnp.asarray(
-                    np.stack([np.linalg.inv(rp) for _, rp in cands])
-                )
-            ),
-            np.float32,
-        ).reshape(len(cands), 6)
+        inits = se3.matrix_to_state_np(
+            np.stack([np.linalg.inv(rp) for _, rp in cands])
+        ).astype(np.float32).reshape(len(cands), 6)
         B = len(cands)
         # pad to power-of-two buckets so the vmapped program compiles once
         # per bucket, not once per candidate count
@@ -499,13 +493,11 @@ class KeyframeVisualOdometry:
 
     def build_pose_graph(self) -> PoseGraph:
         self.flush_loop_closures()  # gate any in-flight closure batches
-        # one batched matrix->state conversion (a per-keyframe/per-edge loop
-        # is M+K host dispatches)
+        # batched host-side matrix->state (a per-keyframe/per-edge loop
+        # or a device dispatch here costs M+K host<->device round-trips)
         states = jnp.asarray(
-            np.asarray(
-                se3.matrix_to_state(
-                    jnp.asarray(np.stack([k.pose for k in self.keyframes]))
-                )
+            se3.matrix_to_state_np(
+                np.stack([k.pose for k in self.keyframes])
             ).astype(np.float32)
         )
         ei = [i for i, _, _ in self.odometry_edges] + [
@@ -524,9 +516,7 @@ class KeyframeVisualOdometry:
             ei, ej, ws = [0], [0], [0.0]
             zs = np.zeros((1, 6), np.float32)
         else:
-            zs = np.asarray(
-                se3.matrix_to_state(jnp.asarray(np.stack(rels)))
-            ).astype(np.float32)
+            zs = se3.matrix_to_state_np(np.stack(rels)).astype(np.float32)
         return PoseGraph(
             states=states,
             edges_i=jnp.asarray(ei, jnp.int32),
@@ -562,7 +552,7 @@ class KeyframeVisualOdometry:
             states, _ = optimize_pose_graph(graph, mesh=mesh, iterations=iterations)
             states = np.asarray(states, dtype=np.float64)
             for k, kf in enumerate(self.keyframes):
-                kf.pose = np.asarray(se3.pose_matrix(states[k]))
+                kf.pose = se3.pose_matrix_np(states[k])
         if ba_iterations > 0 and len(self.keyframes) >= 2:
             self._refine_photometric(
                 mesh, ba_iterations, ba_window, ba_grid, ba_damping,
@@ -604,11 +594,8 @@ class KeyframeVisualOdometry:
             if I.dtype == np.uint8:  # aligner convention: intensity in 0..1
                 I = I.astype(np.float32) / 255.0
             D = np.stack([k.depth for k in kfs])
-            states = np.stack(
-                [
-                    np.asarray(se3.matrix_to_state(jnp.asarray(k.pose)))
-                    for k in kfs
-                ]
+            states = se3.matrix_to_state_np(
+                np.stack([k.pose for k in kfs])
             ).astype(np.float32)
             problem = build_photometric_window(I, D, states, intr, grid=grid)
             refined, _, _ = optimize_photometric_bundle(
@@ -618,4 +605,4 @@ class KeyframeVisualOdometry:
             )
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):
-                kf.pose = np.asarray(se3.pose_matrix(refined[k]))
+                kf.pose = se3.pose_matrix_np(refined[k])

@@ -103,7 +103,7 @@ class VisualOdometryPipeline:
             state = np.asarray(result.state)  # blocks
             dt = time.perf_counter() - t0
 
-            Rt = np.asarray(se3.pose_matrix(state.astype(np.float64)))
+            Rt = se3.pose_matrix_np(state)
             self.global_pose = self.global_pose @ np.linalg.inv(Rt)
             self._last_state = state
             self.frame_index += 1

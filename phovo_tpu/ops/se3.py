@@ -37,6 +37,48 @@ def pose_matrix(state: jax.Array) -> jax.Array:
     return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
+def pose_matrix_np(state) -> "np.ndarray":
+    """Host-side float64 twin of pose_matrix (same ZYX convention).
+
+    The host pipeline integrates one 4x4 pose per frame; routing that
+    through the jitted pose_matrix costs a device dispatch + blocking
+    fetch per frame (RTT-bound on remote-attached chips, and silently
+    f32 since x64 is disabled). Keep it on the host in true double.
+    Supports leading batch dims like the JAX version.
+    """
+    import numpy as np
+
+    state = np.asarray(state, np.float64)
+    x, y, z, yaw, pitch, roll = np.moveaxis(state, -1, 0)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    zero = np.zeros_like(x)
+    one = np.ones_like(x)
+    rows = [
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr, x],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr, y],
+        [-sp, cp * sr, cp * cr, z],
+        [zero, zero, zero, one],
+    ]
+    return np.stack([np.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def matrix_to_state_np(T) -> "np.ndarray":
+    """Host-side float64 twin of matrix_to_state (see pose_matrix_np)."""
+    import numpy as np
+
+    T = np.asarray(T, np.float64)
+    R = T[..., :3, :3]
+    pitch = np.arcsin(np.clip(-R[..., 2, 0], -1.0, 1.0))
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    roll = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    t = T[..., :3, 3]
+    return np.concatenate(
+        [t, np.stack([yaw, pitch, roll], axis=-1)], axis=-1
+    )
+
+
 def rotation_zyx(yaw: jax.Array, pitch: jax.Array, roll: jax.Array) -> jax.Array:
     """3x3 rotation R = Rz(yaw) Ry(pitch) Rx(roll)."""
     state = jnp.stack(

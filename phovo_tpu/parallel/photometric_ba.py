@@ -430,7 +430,7 @@ def build_photometric_window(
     j = 0
     for m in range(M):
         sel = select_landmark_pixels(intensities[m], depths[m], grid=grid)
-        T = np.asarray(se3.pose_matrix(pose_states[m].astype(np.float64)))
+        T = se3.pose_matrix_np(pose_states[m])
         for r, c in sel:
             if r >= 0:
                 z = float(depths[m][r, c])
@@ -452,7 +452,8 @@ def build_photometric_window(
     obs_pose = obs_pose.reshape(-1)
     obs_point = obs_point.reshape(-1)
 
-    mean_z = float(np.mean([z for z in depths.reshape(-1) if z > 0]) or 1.0)
+    pos = depths[depths > 0]
+    mean_z = float(pos.mean()) if pos.size else 1.0
     zw = depth_weight_scale * (fx / max(mean_z, 0.1)) ** 2
     return PhotometricBAProblem(
         pose_states=jnp.asarray(pose_states),

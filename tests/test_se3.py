@@ -95,3 +95,26 @@ def test_integrate_trajectory_matches_host_loop():
     for k, s in enumerate(STATES):
         pose = pose @ np.linalg.inv(np.asarray(se3.pose_matrix(s)))
         np.testing.assert_allclose(np.asarray(poses[k]), pose, atol=1e-5)
+
+
+def test_numpy_twins_match_jax():
+    """pose_matrix_np / matrix_to_state_np (the host-pipeline f64 twins that
+    avoid per-frame device round-trips) must agree with the JAX versions and
+    round-trip each other, including batch dims."""
+    states = np.stack(STATES)
+    T_np = se3.pose_matrix_np(states)
+    T_jax = np.asarray(se3.pose_matrix(jnp.asarray(states, jnp.float32)))
+    assert T_np.dtype == np.float64
+    np.testing.assert_allclose(T_np, T_jax, atol=1e-6)
+
+    s_np = se3.matrix_to_state_np(T_np)
+    s_jax = np.asarray(se3.matrix_to_state(jnp.asarray(T_np, jnp.float32)))
+    np.testing.assert_allclose(s_np, s_jax, atol=1e-5)
+    # exact f64 round trip (states here are within the principal branch)
+    np.testing.assert_allclose(s_np, states, atol=1e-12)
+
+    # single (unbatched) input
+    np.testing.assert_allclose(
+        se3.pose_matrix_np(STATES[0]),
+        np.asarray(se3.pose_matrix(STATES[0])), atol=1e-6,
+    )
