@@ -49,6 +49,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from phovo_tpu.ops import se3
 from phovo_tpu.ops.camera import Intrinsics
 
+# schur='auto' memory guard, shared with parallel/photometric_ba.py: the
+# dense-Schur path materializes W (M, P, 6, 3) plus the WVinv intermediate
+# (M, P, 6, 3) — 2 * M * P * 18 f32 values. Dense wins on TIME wherever it
+# fits (tools/ba_scale_bench.py / BASELINE.md crossover table), so the
+# budget is purely a memory cap.
+DENSE_W_BUDGET_BYTES = 256e6
+
+
+def dense_w_fits(n_poses: int, n_points: int) -> bool:
+    """True when the dense-Schur W intermediates for an (M poses, P points)
+    problem fit DENSE_W_BUDGET_BYTES."""
+    return 2 * n_poses * n_points * 18 * 4 <= DENSE_W_BUDGET_BYTES
+
 
 class BAProblem(NamedTuple):
     """A fixed-size RGB-D bundle-adjustment problem (pytree; jit-stable
@@ -423,8 +436,7 @@ def optimize_bundle(
     if schur == "auto":
         M = int(problem.pose_states.shape[0])
         P = int(problem.points.shape[0])
-        dense_w_bytes = 2 * M * P * 18 * 4  # W + WVinv intermediate
-        schur = "dense" if dense_w_bytes <= 256e6 else "sparse"
+        schur = "dense" if dense_w_fits(M, P) else "sparse"
     K = problem.obs_pose.shape[0]
     if mesh is not None:
         n = 1
@@ -601,7 +613,7 @@ def make_synthetic_ba(
     n_poses: int = 6,
     n_points: int = 64,
     intr: Intrinsics | None = None,
-    obs_per_point: int | None = None,
+    obs_per_pose: int | None = None,
     pixel_noise: float = 0.0,
     depth_noise: float = 0.0,
     state_noise: float = 0.02,
@@ -609,8 +621,9 @@ def make_synthetic_ba(
     seed: int = 0,
 ):
     """Ground-truthed synthetic RGB-D BA problem: poses on a short arc looking
-    at a landmark cloud, every pose observes every landmark (dense visibility
-    keeps shapes static; real front-ends pad). Depth observations carry the
+    at a landmark cloud. By default every pose observes every landmark (dense
+    visibility keeps shapes static; real front-ends pad); obs_per_pose=N
+    instead samples N distinct landmarks per pose (sparse visibility). Depth observations carry the
     standard (fx/z)^2 information weight (a depth error of dz meters moves the
     reprojection by ~fx*dz/z pixels, so this expresses depth in
     pixel-equivalent units). Returns (problem, gt_states, gt_points)."""
@@ -647,8 +660,8 @@ def make_synthetic_ba(
         )
         sel = (
             np.arange(n_points)
-            if obs_per_point is None
-            else rng.choice(n_points, obs_per_point, replace=False)
+            if obs_per_pose is None
+            else rng.choice(n_points, obs_per_pose, replace=False)
         )
         for j in sel:
             obs_pose.append(i)

@@ -240,10 +240,12 @@ def optimize_photometric_bundle(
             f"schur={schur!r}; expected 'dense', 'sparse', or 'auto'"
         )
     if schur == "auto":
+        from phovo_tpu.parallel.bundle_adjustment import dense_w_fits
+
         M = int(problem.pose_states.shape[0])
         P = int(problem.points.shape[0])
         # same memory guard as optimize_bundle: dense wherever W fits
-        schur = "dense" if 2 * M * P * 18 * 4 <= 256e6 else "sparse"
+        schur = "dense" if dense_w_fits(M, P) else "sparse"
     if schur == "sparse":
         from phovo_tpu.parallel.bundle_adjustment import build_schur_pairs
 

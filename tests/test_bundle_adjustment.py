@@ -251,10 +251,18 @@ def test_auto_schur_selects_and_matches():
     try:
         optimize_bundle(big, TUM_DEFAULT, iterations=1, schur="auto")
         assert seen["sparse"] is False  # 2*2*1000*18*4 bytes << 256 MB
-        # shrink the budget by inflating the problem? instead assert the
-        # routing arithmetic directly on the guard expression
+        # auto -> sparse branch: shrink the shared budget below this
+        # problem's W footprint and the same call must route to sparse
+        # (and still converge finitely)
+        ba.DENSE_W_BUDGET_BYTES = 2 * 2 * 1000 * 18 * 4 - 1
+        _, _, c_sp = optimize_bundle(
+            big, TUM_DEFAULT, iterations=1, schur="auto"
+        )
+        assert seen["sparse"] is True
+        assert np.isfinite(float(c_sp))
     finally:
         ba._optimize_bundle_jit = restore
+        ba.DENSE_W_BUDGET_BYTES = 256e6
 
     import pytest
 

@@ -60,7 +60,7 @@ def main(argv=None):
     for M, P, opp in CASES:
         problem, gt_states, _ = make_synthetic_ba(
             n_poses=M, n_points=P, state_noise=0.01, point_noise=0.01,
-            obs_per_point=opp, seed=0,
+            obs_per_pose=opp, seed=0,
         )
         K = int(problem.obs_pose.shape[0])
         pa, _ = build_schur_pairs(problem.obs_pose, problem.obs_point)
