@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keyframe mode: Huber IRLS delta for the photometric "
                         "BA refinement (caps outlier observations; omit for "
                         "a quadratic cost)")
+    p.add_argument("--pg-solver", default="auto",
+                   choices=["auto", "dense", "cg"],
+                   help="keyframe mode: pose-graph solver — dense block "
+                        "Hessian (exact, right for windows), matrix-free "
+                        "block-Jacobi PCG (O(M+K) memory/traffic, right for "
+                        "map-scale graphs), or auto (dense for <=192 "
+                        "keyframes)")
     p.add_argument("--kf-translation", type=float, default=0.15,
                    help="keyframe mode: promote a new keyframe beyond this "
                         "tracked translation (meters)")
@@ -91,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--robust-delta", type=float, default=None,
                    help="override the config's robust loss delta "
                         "(residual units, intensity 0..1)")
+    p.add_argument("--band-fallback", type=float, default=None,
+                   help="re-run a pair on the exact full-band path when the "
+                        "fused kernels' banded sampling window dropped more "
+                        "than this fraction of a level's valid pixels "
+                        "(fast-rotation observability guard; default 0.02, "
+                        "0 disables)")
     p.add_argument("--mix-mode", default=None, choices=["f32", "bf16x2g", "bf16x2", "bf16"],
                    help="sampling-matmul precision in the fused TPU kernels "
                         "(overrides the config; bf16x2 is ~1.4x faster "
@@ -188,11 +201,13 @@ def _main(argv=None) -> int:
 
     vo = BACKENDS[args.backend](cfg)
     vo.set_intrinsic_matrix(np.asarray(intr.matrix()))
+    if args.band_fallback is not None:
+        vo.band_fallback = args.band_fallback
 
     if args.mode == "keyframe":
         return _run_keyframe_mode(args, vo, seq)
     if args.chunk > 1:
-        return _run_chunked(args, cfg, intr, seq)
+        return _run_chunked(args, cfg, intr, seq, vo.band_fallback)
 
     pipeline = VisualOdometryPipeline(
         vo, warm_start=args.warm_start, checkpoint_path=args.checkpoint
@@ -285,7 +300,7 @@ def _maybe_eval(args) -> None:
     print(f"RPE rmse: {rpe['trans_rmse']:.4f} m / {rpe['rot_rmse_deg']:.3f} deg")
 
 
-def _run_chunked(args, cfg, intr, seq) -> int:
+def _run_chunked(args, cfg, intr, seq, band_fallback=0.0) -> int:
     """Buffered sequence processing: chunks of N frames aligned per device
     dispatch via align_sequence_chunk.
 
@@ -474,6 +489,65 @@ def _run_chunked(args, cfg, intr, seq) -> int:
         backend_static = (
             "linearizer" if args.backend in ("ceres", "autodiff") else True
         )
+
+        # full-band retry for the band_fallback observability gate: one
+        # single-pair alignment with use_fused=False (models/base.py
+        # band_masked_fraction rationale)
+        def _full_band(si, sd, ti, td, init):
+            from phovo_tpu.models.analytic import align_analytic
+            from phovo_tpu.models.autodiff import align_autodiff
+            from phovo_tpu.models.biobjective import align_biobjective
+            from phovo_tpu.models.ic import align_ic
+
+            a = (si, sd, ti, td, intr, init, cfg)
+            if args.backend in ("ceres", "autodiff"):
+                return align_autodiff(*a, "linearizer", use_fused=False)
+            fn = {
+                "analytic": align_analytic,
+                "ic": align_ic,
+                "biobjective": align_biobjective,
+            }[args.backend]
+            return fn(*a, use_fused=False)
+
+        n_fallbacks = 0
+
+        def resolve_states(res, m, host_frames):
+            """Fetch the chunk's states, re-running band-masked pairs on
+            the exact full-band path (models/base.py band_fallback)."""
+            nonlocal n_fallbacks
+            states = np_.asarray(res.state[:m])
+            if band_fallback <= 0:
+                return states
+            from phovo_tpu.models.base import band_masked_fractions
+
+            fracs = band_masked_fractions(
+                np_.asarray(res.band_masked[:m]),
+                np_.asarray(res.num_valid[:m]),
+            )
+            (ci, cd), Ii, Dd = host_frames
+            states = np_.array(states)
+            for k in np_.nonzero(fracs > band_fallback)[0]:
+                k = int(k)
+                si, sd = (ci, cd) if k == 0 else (Ii[k - 1], Dd[k - 1])
+                ti, td = Ii[k], Dd[k]
+                if sd.dtype == np_.uint16:
+                    sd = sd.astype(np_.float32) * np_.float32(depth_scale)
+                if td.dtype == np_.uint16:
+                    td = td.astype(np_.float32) * np_.float32(depth_scale)
+                init = (
+                    states[k - 1].astype(np_.float32)
+                    if (args.warm_start and k > 0)
+                    else np_.zeros(6, np_.float32)
+                )
+                rb = _full_band(
+                    jnp.asarray(si), jnp.asarray(sd, jnp.float32),
+                    jnp.asarray(ti), jnp.asarray(td, jnp.float32),
+                    jnp.asarray(init),
+                )
+                states[k] = np_.asarray(rb.state)
+                n_fallbacks += 1
+            return states
+        host_carry = (I0[0], D0[0])  # storage-dtype twin of the device carry
         try:
             for Ii, Dd, ts in stream:
                 t0 = _time.perf_counter()
@@ -494,23 +568,29 @@ def _run_chunked(args, cfg, intr, seq) -> int:
                     depth_scale if Dd.dtype == np_.uint16 else None,
                 )
                 if pending is not None:
-                    p_states, p_ts, p_t0 = pending
+                    p_res, p_m, p_hosts, p_ts, p_t0 = pending
                     pending = None
-                    if integrate(np_.asarray(p_states), p_ts, out,
-                                 t0 - p_t0):
+                    if integrate(resolve_states(p_res, p_m, p_hosts), p_ts,
+                                 out, t0 - p_t0):
                         break
-                pending = (res.state[:m], ts, t0)
+                pending = (res, m, (host_carry, Ii, Dd), ts, t0)
+                host_carry = (Ii[m - 1], Dd[m - 1])
         finally:
             # flush the chunk already aligned even if a later chunk's IO or
             # dispatch raises — the trajectory stays truncated, not holey
             if pending is not None:
-                p_states, p_ts, p_t0 = pending
-                integrate(np_.asarray(p_states), p_ts, out,
+                p_res, p_m, p_hosts, p_ts, p_t0 = pending
+                integrate(resolve_states(p_res, p_m, p_hosts), p_ts, out,
                           _time.perf_counter() - p_t0)
     if metrics is not None:
         metrics.close()
     if not args.quiet:
         print(f"wrote {n_done} poses to {args.output}")
+        if n_fallbacks:
+            print(
+                f"band fallback: {n_fallbacks} pair(s) re-aligned full-band "
+                "(banded window exceeded --band-fallback)"
+            )
     _maybe_eval(args)
     return 0
 
@@ -545,6 +625,7 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         vo,
         kf_translation=args.kf_translation,
         kf_rotation=args.kf_rotation,
+        pg_solver=args.pg_solver,
     )
     stream = (
         kvo.run_chunked(prefetch(iter(seq)), chunk=args.chunk)
@@ -575,6 +656,12 @@ def _run_keyframe_mode(args, vo, seq) -> int:
             f"wrote {len(tracked)} poses ({len(kvo.keyframes)} keyframes, "
             f"{len(kvo.loop_closures)} loop closures) to {args.output}"
         )
+        nfb = kvo.band_fallbacks + getattr(vo, "band_fallbacks", 0)
+        if nfb:
+            print(
+                f"band fallback: {nfb} alignment(s) re-run full-band "
+                "(banded window exceeded --band-fallback)"
+            )
     _maybe_eval(args)
     return 0
 

@@ -404,3 +404,8 @@ class PhotoconsistencyOdometryAnalytic(PhotoconsistencyOdometryBase):
         return align_analytic(
             si, sd, ti, td, intr, init_state, self.config, self.use_fused
         )
+
+    def align_full_band(self, si, sd, ti, td, intr, init_state):
+        return align_analytic(
+            si, sd, ti, td, intr, init_state, self.config, use_fused=False
+        )

@@ -42,7 +42,9 @@ from phovo_tpu.solvers.trust_region import (
 from phovo_tpu.utils.config import PhovoConfig
 
 
-@functools.partial(jax.jit, static_argnames=("config", "jacobian_mode"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "jacobian_mode", "use_fused")
+)
 def align_autodiff(
     source_intensity: jax.Array,
     source_depth: jax.Array,
@@ -52,6 +54,7 @@ def align_autodiff(
     init_state: jax.Array,
     config: PhovoConfig,
     jacobian_mode: str = "linearizer",
+    use_fused: bool = True,
 ) -> AlignmentResult:
     del target_depth
     if config.robust_loss == "tdist":
@@ -73,7 +76,8 @@ def align_autodiff(
     gx1, gy1 = pyr.build_gradient_pyramid(int1, tuple(config.gradient_scales))
 
     fused_ok = (
-        jacobian_mode == "linearizer"
+        use_fused
+        and jacobian_mode == "linearizer"
         and fused_ops._HAS_PALLAS
         and jax.default_backend() == "tpu"
     )
@@ -215,4 +219,10 @@ class PhotoconsistencyOdometryAutodiff(PhotoconsistencyOdometryBase):
     def align(self, si, sd, ti, td, intr, init_state) -> AlignmentResult:
         return align_autodiff(
             si, sd, ti, td, intr, init_state, self.config, self.jacobian_mode
+        )
+
+    def align_full_band(self, si, sd, ti, td, intr, init_state):
+        return align_autodiff(
+            si, sd, ti, td, intr, init_state, self.config,
+            self.jacobian_mode, use_fused=False,
         )

@@ -44,11 +44,42 @@ class AlignmentResult(NamedTuple):
     # sampling window (0 where the exact XLA path ran / the band was wide
     # enough). A material fraction band_masked/num_valid at a level means
     # the motion exceeded the band and that level under-observed it — the
-    # caller should re-run that pair with use_fused=False.
+    # production paths gate on band_masked_fraction and re-run such pairs
+    # with use_fused=False (PhotoconsistencyOdometryBase.optimize,
+    # models/keyframe.py run_chunked, apps/phovo_vo.py _run_chunked).
     band_masked: jax.Array | float = 0.0
 
     def transform(self) -> jax.Array:
         return se3.pose_matrix(self.state)
+
+
+# Default production gate: re-run a pair full-band when the banded window
+# dropped more than this fraction of its otherwise-valid pixels at any
+# pyramid level. The band only masks under fast in-plane rotation at fine
+# levels (ops/fused.py banded row window); 2% is far above the band-edge
+# rounding that normal motion produces (tests pin ~0 there) and far below
+# the ~30%+ masking a 0.4 rad/frame yaw produces.
+BAND_FALLBACK_DEFAULT = 0.02
+
+
+def band_masked_fraction(band_masked, num_valid) -> float:
+    """Max over levels of dropped/(dropped+kept) pixels for ONE alignment.
+
+    band_masked counts pixels the fused kernel's banded sampling window
+    dropped (max over the level's iterations); num_valid counts the pixels
+    kept at that level. Inputs are (L,) host or device arrays; returns a
+    Python float (blocks on device values)."""
+    bm = np.asarray(band_masked, np.float64).reshape(-1)
+    nv = np.asarray(num_valid, np.float64).reshape(-1)
+    return float(np.max(bm / np.maximum(bm + nv, 1.0)))
+
+
+def band_masked_fractions(band_masked, num_valid) -> np.ndarray:
+    """Batched band_masked_fraction: (B, L) diagnostics -> (B,) max-over-
+    levels masked fraction per alignment."""
+    bm = np.asarray(band_masked, np.float64)
+    nv = np.asarray(num_valid, np.float64)
+    return np.max(bm / np.maximum(bm + nv, 1.0), axis=-1)
 
 
 def as_float_intensity(img) -> np.ndarray:
@@ -140,6 +171,12 @@ class PhotoconsistencyOdometryBase:
         self._target = None
         self._init_state = jnp.zeros(6, dtype=jnp.float32)
         self._result: AlignmentResult | None = None
+        # banded-window observability fallback (ops/fused.py band_masked):
+        # when the fused kernels drop more than this fraction of a level's
+        # valid pixels, optimize() re-runs the pair on the exact full-band
+        # path. 0 disables. band_fallbacks counts engagements.
+        self.band_fallback: float = BAND_FALLBACK_DEFAULT
+        self.band_fallbacks: int = 0
 
     # -- reference API surface ------------------------------------------------
     def read_configuration_file(self, path) -> None:
@@ -172,14 +209,25 @@ class PhotoconsistencyOdometryBase:
             raise RuntimeError("set_intrinsic_matrix must be called before optimize")
         if self._source is None or self._target is None:
             raise RuntimeError("source and target frames must be set before optimize")
-        self._result = self.align(
-            self._source[0],
-            self._source[1],
-            self._target[0],
-            self._target[1],
-            self.intrinsics,
-            self._init_state,
+        args = (
+            self._source[0], self._source[1],
+            self._target[0], self._target[1],
+            self.intrinsics, self._init_state,
         )
+        result = self.align(*args)
+        if self.band_fallback > 0:
+            # one batched fetch (callers gather the result host-side right
+            # after optimize() anyway); gate + full-band retry on the host
+            result = AlignmentResult(*jax.device_get(tuple(result)))
+            if (
+                band_masked_fraction(result.band_masked, result.num_valid)
+                > self.band_fallback
+            ):
+                retry = self.align_full_band(*args)
+                if retry is not None:
+                    self.band_fallbacks += 1
+                    result = AlignmentResult(*jax.device_get(tuple(retry)))
+        self._result = result
         return self._result
 
     def get_optimal_state_vector(self) -> jax.Array:
@@ -205,3 +253,13 @@ class PhotoconsistencyOdometryBase:
         init_state: jax.Array,
     ) -> AlignmentResult:
         raise NotImplementedError
+
+    def align_full_band(
+        self, si, sd, ti, td, intr, init_state
+    ) -> AlignmentResult | None:
+        """Exact full-band re-alignment for the band_fallback gate (the
+        mechanism band_masked promises): backends whose fused kernels use
+        the banded sampling window override this to re-run on the
+        use_fused=False path. None = no fallback available (backend never
+        band-masks)."""
+        return None

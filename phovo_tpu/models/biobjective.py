@@ -216,3 +216,8 @@ class PhotoconsistencyOdometryBiObjective(PhotoconsistencyOdometryBase):
         return align_biobjective(
             si, sd, ti, td, intr, init_state, self.config, self.use_fused
         )
+
+    def align_full_band(self, si, sd, ti, td, intr, init_state):
+        return align_biobjective(
+            si, sd, ti, td, intr, init_state, self.config, use_fused=False
+        )

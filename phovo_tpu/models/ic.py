@@ -76,7 +76,8 @@ def align_ic(
     for level in range(L - 1, -1, -1):
         if config.max_iterations[level] <= 0:
             diags[level] = (
-                jnp.int32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0)
+                jnp.int32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                jnp.float32(0),
             )
             continue
         intr_l = intr.at_level(level)
@@ -98,7 +99,7 @@ def align_ic(
             )
             runner = ic_ops.ic_gn_level_xla
         kw = {"mix_mode": config.mix_mode} if fused_level else {}
-        T, its, gnorm, cost, nvalid = runner(
+        T, its, gnorm, cost, nvalid, masked = runner(
             T, dep0[level], J8, chol, int1[level], intr_l,
             config.max_iterations[level],
             config.min_gradient_norms[level],
@@ -106,7 +107,7 @@ def align_ic(
             config.sampling,
             **kw,
         )
-        diags[level] = (its, gnorm, cost, nvalid)
+        diags[level] = (its, gnorm, cost, nvalid, masked)
 
     state = se3.matrix_to_state(T)
     return AlignmentResult(
@@ -115,6 +116,7 @@ def align_ic(
         gradient_norm=jnp.stack([jnp.asarray(d[1], jnp.float32) for d in diags]),
         cost=jnp.stack([jnp.asarray(d[2], jnp.float32) for d in diags]),
         num_valid=jnp.stack([jnp.asarray(d[3], jnp.float32) for d in diags]),
+        band_masked=jnp.stack([jnp.asarray(d[4], jnp.float32) for d in diags]),
     )
 
 
@@ -180,3 +182,8 @@ class PhotoconsistencyOdometryIC(PhotoconsistencyOdometryBase):
 
     def align(self, si, sd, ti, td, intr, init_state) -> AlignmentResult:
         return align_ic(si, sd, ti, td, intr, init_state, self.config, self.use_fused)
+
+    def align_full_band(self, si, sd, ti, td, intr, init_state):
+        return align_ic(
+            si, sd, ti, td, intr, init_state, self.config, use_fused=False
+        )

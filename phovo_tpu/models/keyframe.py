@@ -28,7 +28,11 @@ from typing import Iterable, Iterator
 import numpy as np
 
 from phovo_tpu.datasets.tum import RGBDFrame
-from phovo_tpu.models.base import PhotoconsistencyOdometryBase
+from phovo_tpu.models.base import (
+    BAND_FALLBACK_DEFAULT,
+    PhotoconsistencyOdometryBase,
+    band_masked_fraction,
+)
 from phovo_tpu.ops import se3
 from phovo_tpu.parallel.pose_graph import PoseGraph, optimize_pose_graph
 
@@ -92,8 +96,19 @@ class KeyframeVisualOdometry:
         loop_weight: float = 10.0,
         loop_max_translation_dev: float = 0.2,  # meters vs predicted relative
         loop_max_rotation_dev: float = 0.3,  # radians vs predicted relative
+        band_fallback: float = BAND_FALLBACK_DEFAULT,
+        pg_solver: str = "auto",  # pose-graph solver: auto/dense/cg
     ):
         self.odometry = odometry
+        self.pg_solver = pg_solver
+        # banded-window fallback (models/base.py band_masked_fraction): the
+        # per-frame run() path inherits the gate from odometry.optimize();
+        # run_chunked and the batched closure dispatches bypass the object
+        # API, so they gate here. band_fallbacks counts engagements in the
+        # chunked/closure paths (odometry.band_fallbacks counts the rest).
+        self.band_fallback = band_fallback
+        odometry.band_fallback = band_fallback
+        self.band_fallbacks = 0
         self.kf_translation = kf_translation
         self.kf_rotation = kf_rotation
         self.kf_min_valid_fraction = kf_min_valid_fraction
@@ -268,7 +283,8 @@ class KeyframeVisualOdometry:
             if not buf:
                 break
             kf = self.keyframes[-1]
-            res = track(buf, kf, last_rel_state)
+            chunk_init = last_rel_state
+            res = track(buf, kf, chunk_init)
             consumed = 0
             for k in range(len(buf)):
                 fr = buf[k]
@@ -279,6 +295,33 @@ class KeyframeVisualOdometry:
                 ran = np.nonzero(iters_k > 0)[0]
                 lvl = int(ran[0]) if len(ran) else 0
                 nvalid = float(np.asarray(res.num_valid[k])[lvl])
+                if self.band_fallback > 0 and band_masked_fraction(
+                    res.band_masked[k], res.num_valid[k]
+                ) > self.band_fallback:
+                    # the banded kernels under-observed this frame (fast
+                    # in-plane rotation): re-track it on the exact
+                    # full-band path with the same warm init it had in the
+                    # chunk scan
+                    from phovo_tpu.models.analytic import align_analytic
+
+                    init_k = (
+                        np.asarray(res.state[k - 1], np.float32)
+                        if k > 0 else np.asarray(chunk_init, np.float32)
+                    )
+                    rb = jax.device_get(
+                        align_analytic(
+                            kf.dev_intensity, kf.dev_depth,
+                            jnp.asarray(np.asarray(fr.intensity)),
+                            jnp.asarray(np.asarray(fr.depth, np.float32)),
+                            intr, jnp.asarray(init_k), cfg, use_fused=False,
+                        )
+                    )
+                    self.band_fallbacks += 1
+                    state = np.asarray(rb.state)
+                    iters_k = np.asarray(rb.iterations)
+                    ran = np.nonzero(iters_k > 0)[0]
+                    lvl = int(ran[0]) if len(ran) else 0
+                    nvalid = float(np.asarray(rb.num_valid)[lvl])
                 Rt = se3.pose_matrix_np(state)
                 rel = np.linalg.inv(Rt)
                 pose = kf.pose @ rel
@@ -478,16 +521,56 @@ class KeyframeVisualOdometry:
         for new_index, cand_meta, res, B, npix_full in pending:
             res = jax.device_get(res)
             for k, (old_index, rel_pred) in enumerate(cand_meta[:B]):
+                state_k = np.asarray(res.state[k])
+                cost_k = np.asarray(res.cost[k])
+                nvalid_k = np.asarray(res.num_valid[k])
                 iters_k = np.asarray(res.iterations[k])
+                if self.band_fallback > 0 and band_masked_fraction(
+                    res.band_masked[k], nvalid_k
+                ) > self.band_fallback:
+                    # a band-masked closure alignment would mis-gate
+                    # (nvalid and cost both depressed): re-align this one
+                    # candidate on the exact full-band path
+                    rb = self._full_band_closure(old_index, new_index, rel_pred)
+                    if rb is not None:
+                        self.band_fallbacks += 1
+                        state_k = np.asarray(rb.state)
+                        cost_k = np.asarray(rb.cost)
+                        nvalid_k = np.asarray(rb.num_valid)
+                        iters_k = np.asarray(rb.iterations)
                 ran = np.nonzero(iters_k > 0)[0]
                 lvl = int(ran[0]) if len(ran) else 0
                 self._gate_closure(
                     new_index, old_index, rel_pred,
-                    np.asarray(res.state[k]),
-                    float(np.asarray(res.cost[k])[lvl]),
-                    float(np.asarray(res.num_valid[k])[lvl]),
+                    state_k,
+                    float(cost_k[lvl]),
+                    float(nvalid_k[lvl]),
                     lvl, npix_full, half_sum_sq=False,
                 )
+
+    def _full_band_closure(self, old_index: int, new_index: int, rel_pred):
+        """Full-band (use_fused=False) re-run of one closure candidate
+        alignment; None when the backend context is unavailable."""
+        ctx = self._analytic_batch_context()
+        if ctx is None:
+            return None
+        cfg, _, intr = ctx
+        import jax
+
+        from phovo_tpu.models.analytic import align_analytic
+
+        old = self.keyframes[old_index]
+        new = self.keyframes[new_index]
+        init = se3.matrix_to_state_np(np.linalg.inv(rel_pred)).astype(
+            np.float32
+        )
+        return jax.device_get(
+            align_analytic(
+                old.dev_intensity, old.dev_depth,
+                new.dev_intensity, new.dev_depth,
+                intr, jnp.asarray(init), cfg, use_fused=False,
+            )
+        )
 
     # -- backend -------------------------------------------------------------
 
@@ -549,7 +632,14 @@ class KeyframeVisualOdometry:
         """
         if len(self.keyframes) >= 2:
             graph = self.build_pose_graph()
-            states, _ = optimize_pose_graph(graph, mesh=mesh, iterations=iterations)
+            # bucket=True: graph sizes vary run to run; bucketed shapes
+            # reuse one compiled program per size bucket (and hit the
+            # persistent compilation cache across runs) instead of paying
+            # a fresh ~10 s compile per novel (M, K)
+            states, _ = optimize_pose_graph(
+                graph, mesh=mesh, iterations=iterations,
+                solver=self.pg_solver, bucket=True,
+            )
             states = np.asarray(states, dtype=np.float64)
             for k, kf in enumerate(self.keyframes):
                 kf.pose = se3.pose_matrix_np(states[k])

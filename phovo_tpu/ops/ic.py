@@ -181,7 +181,7 @@ def _ic_gn_kernel(
         t0, t1, t2 = t
 
         def tile(step, acc):
-            g_acc, cost_acc, nv_acc = acc
+            g_acc, cost_acc, nv_acc, nm_acc = acc
             off = pl.multiple_of(step * NT, 128)
             g4 = geom_ref[:, pl.ds(off, NT)] if n_tiles > 1 else geom_ref[:]
             J8 = J8_ref[:, pl.ds(off, NT)] if n_tiles > 1 else J8_ref[:]
@@ -238,11 +238,16 @@ def _ic_gn_kernel(
                 band = (band // 8) * 8
                 band = pl.multiple_of(band, 8)
                 in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+                # observability: pixels the band drops this iteration
+                # (ops/fused.py band_masked; surfaced so the production
+                # band_fallback gate covers the IC backend too)
+                n_masked = jnp.sum(jnp.where(valid & ~in_band, 1.0, 0.0))
                 valid = valid & in_band
                 r_lo_loc = r_lo - band
                 r_hi_loc = r_hi - band
             else:
                 band = 0
+                n_masked = jnp.float32(0.0)
                 r_lo_loc = r_lo
                 r_hi_loc = r_hi
             iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
@@ -270,9 +275,15 @@ def _ic_gn_kernel(
                 rv, rv, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return (g_acc + g_part, cost_acc + m2[0, 0], nv_acc + m2[1, 1])
+            return (
+                g_acc + g_part, cost_acc + m2[0, 0], nv_acc + m2[1, 1],
+                nm_acc + n_masked,
+            )
 
-        init = (jnp.zeros((8, 1), jnp.float32), jnp.float32(0), jnp.float32(0))
+        init = (
+            jnp.zeros((8, 1), jnp.float32), jnp.float32(0), jnp.float32(0),
+            jnp.float32(0),
+        )
         if n_tiles == 1:
             return tile(0, init)
         return jax.lax.fori_loop(0, n_tiles, tile, init)
@@ -291,7 +302,7 @@ def _ic_gn_kernel(
     def body(carry):
         R = carry[:9]
         t = carry[9:12]
-        g, cost, nvalid = level_pass(R, t)
+        g, cost, nvalid, nmasked = level_pass(R, t)
         gs = [g[i, 0] for i in range(6)]
         delta = _tri_solve(L_get, gs, inv_diag)
         finite = jnp.isfinite(delta[0])
@@ -301,10 +312,14 @@ def _ic_gn_kernel(
         R_out = tuple(jnp.where(finite, n, o) for n, o in zip(newR, R))
         t_out = tuple(jnp.where(finite, n, o) for n, o in zip(newt, t))
         gnorm = jnp.sqrt(sum(x * x for x in gs))
-        return R_out + t_out + (carry[12] + 1.0, gnorm, cost, nvalid)
+        return R_out + t_out + (
+            carry[12] + 1.0, gnorm, cost, nvalid,
+            jnp.maximum(carry[16], nmasked),  # max over iterations
+        )
 
     init = tuple(state_ref[0, k] for k in range(12)) + (
         jnp.float32(0), jnp.float32(jnp.inf), jnp.float32(0), jnp.float32(0),
+        jnp.float32(0),
     )
     final = jax.lax.while_loop(cond, body, init)
     for k in range(12):
@@ -315,7 +330,8 @@ def _ic_gn_kernel(
     diag_out_ref[0, 1] = jnp.where(jnp.isfinite(final[13]), final[13], 0.0)
     diag_out_ref[0, 2] = final[14]
     diag_out_ref[0, 3] = final[15]
-    for k in range(4, 8):
+    diag_out_ref[0, 4] = final[16]
+    for k in range(5, 8):
         diag_out_ref[0, k] = jnp.float32(0)
 
 
@@ -334,7 +350,7 @@ def ic_gn_level(
     mix_mode: str = "f32",
 ):
     """Whole IC level in one pallas call. Returns (T', iterations, gnorm,
-    cost, num_valid)."""
+    cost, num_valid, band_masked)."""
     H, W = source_depth.shape
     NP, NT = _pick_tile_pixels(H, W)
     kernel = functools.partial(
@@ -393,6 +409,7 @@ def ic_gn_level(
         diag[0, 1],
         diag[0, 2],
         diag[0, 3],
+        diag[0, 4],
     )
 
 
@@ -465,7 +482,11 @@ def ic_gn_level_xla(
         jnp.float32(0), jnp.float32(0),
     )
     T, it, gnorm, cost, nvalid = jax.lax.while_loop(cond, body, carry)
-    return T, it, jnp.where(jnp.isfinite(gnorm), gnorm, 0.0), cost, nvalid
+    # trailing 0: the XLA path samples full-height (never band-masks)
+    return (
+        T, it, jnp.where(jnp.isfinite(gnorm), gnorm, 0.0), cost, nvalid,
+        jnp.float32(0.0),
+    )
 
 
 def _chol_factor(A):

@@ -113,11 +113,22 @@ def optimize_pose_graph(
     solver: str = "auto",
     cg_iterations: int = 100,
     cg_tol: float = 1e-8,
+    bucket: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Gauss-Newton over all keyframe poses. Returns (states, final_cost).
 
     With a mesh, edges are padded to a multiple of the axis size and sharded;
     each device accumulates its block contributions and a psum merges them.
+
+    bucket=True pads the pose count to a multiple of 32 and the edge count
+    to a power of two before entering jit: without it every distinct
+    (M keyframes, K edges) pair compiles (and persistent-cache-misses) its
+    own program — tens of seconds per novel graph size, which dominated
+    keyframe-mode finalize wall-clock. Padding poses have no edges (their
+    normal-equation rows are damping-only, step exactly 0) and padding
+    edges carry i = -1 (masked inside the accumulators), so the returned
+    states are numerically identical to the unbucketed solve; the sliced
+    [:M] result is returned.
 
     solver:
       'dense' — form the (M, M, 6, 6) block Hessian, dense 6Mx6M solve.
@@ -137,6 +148,20 @@ def optimize_pose_graph(
     if solver not in ("dense", "cg"):
         raise ValueError(f"unknown solver {solver!r}")
     ei, ej, z, w = graph.edges_i, graph.edges_j, graph.measurements, graph.weights
+    states0 = graph.states
+    if bucket:
+        Mb = max(8, -(-M // 32) * 32)
+        Kb = max(64, 1 << (K - 1).bit_length()) if K else 64
+        states0 = jnp.concatenate(
+            [states0, jnp.zeros((Mb - M, 6), jnp.float32)]
+        )
+        kpad = Kb - K
+        ei = jnp.concatenate([ei, -jnp.ones(kpad, jnp.int32)])
+        ej = jnp.concatenate([ej, -jnp.ones(kpad, jnp.int32)])
+        z = jnp.concatenate([z, jnp.zeros((kpad, 6), jnp.float32)])
+        w = jnp.concatenate([w, jnp.zeros(kpad, jnp.float32)])
+        K = Kb  # the mesh padding below aligns the BUCKETED edge count
+        graph = graph._replace(states=states0)
     if mesh is not None:
         n = 1
         for a in mesh.axis_names:
@@ -146,11 +171,12 @@ def optimize_pose_graph(
         ej = jnp.concatenate([ej, -jnp.ones(pad, jnp.int32)])
         z = jnp.concatenate([z, jnp.zeros((pad, 6), jnp.float32)])
         w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)])
-    return _optimize_pose_graph_jit(
+    states, cost = _optimize_pose_graph_jit(
         graph.states, ei, ej, z, w, jnp.float32(damping),
         mesh=mesh, iterations=iterations, fixed_first=fixed_first,
         solver=solver, cg_iterations=cg_iterations, cg_tol=float(cg_tol),
     )
+    return (states[:M] if bucket else states), cost
 
 
 def _cg_gn_step(

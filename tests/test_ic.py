@@ -64,10 +64,10 @@ def test_ic_kernel_interpret_matches_xla(intr, small_pair):
     J8, L = ic_ops.ic_precompute(I0, D0, gx0, gy0, intr, 0.3, 5.0)
     T0 = se3.pose_matrix(jnp.zeros(6))
     for sampling in ("nearest", "bilinear"):
-        Tk, itk, gk, ck, nk = ic_ops.ic_gn_level(
+        Tk, itk, gk, ck, nk, _mk = ic_ops.ic_gn_level(
             T0, D0, J8, L, I1, intr, 6, 1e-10, 1.0, sampling, interpret=True
         )
-        Tx, itx, gx_, cx_, nx = ic_ops.ic_gn_level_xla(
+        Tx, itx, gx_, cx_, nx, _mx = ic_ops.ic_gn_level_xla(
             T0, D0, J8, L, I1, intr, 6, 1e-10, 1.0, sampling
         )
         assert int(itk) == int(itx)

@@ -223,3 +223,37 @@ def test_pose_graph_cg_sharded_matches_single_device():
     # and CG agrees with the dense solver on the same sharded graph
     sd, cd = optimize_pose_graph(graph, mesh=mesh, iterations=5, solver="dense")
     np.testing.assert_allclose(np.asarray(s8), np.asarray(sd), atol=1e-4)
+
+
+def test_pose_graph_bucketed_matches_unbucketed():
+    """bucket=True (shape bucketing for compile reuse) must return the
+    same states/cost as the exact-shape solve, for both solvers, with and
+    without a mesh. Padding poses are edge-less (step exactly 0) and
+    padding edges are masked, so agreement is to f32 reduction noise."""
+    true_rel = _noisy_chain(n=9, seed=13)  # 9 poses, 8 odometry edges
+    noisy = true_rel + 0.02 * np.random.default_rng(3).standard_normal(
+        true_rel.shape
+    ).astype(np.float32)
+    graph = chain_to_graph(noisy, [(0, 8, np.zeros(6, np.float32))],
+                           loop_weight=10.0)
+    for solver in ("dense", "cg"):
+        s0, c0 = optimize_pose_graph(
+            graph, iterations=5, damping=1e-4, solver=solver,
+            cg_iterations=200, cg_tol=1e-12,
+        )
+        sb, cb = optimize_pose_graph(
+            graph, iterations=5, damping=1e-4, solver=solver,
+            cg_iterations=200, cg_tol=1e-12, bucket=True,
+        )
+        assert sb.shape == s0.shape  # sliced back to the real pose count
+        np.testing.assert_allclose(
+            np.asarray(sb), np.asarray(s0), atol=1e-5, err_msg=solver
+        )
+        np.testing.assert_allclose(float(cb), float(c0), rtol=1e-5, atol=1e-8)
+    mesh = make_mesh(8, pixel_parallel=2)
+    sm, cm = optimize_pose_graph(graph, mesh=mesh, iterations=5, damping=1e-4)
+    smb, cmb = optimize_pose_graph(
+        graph, mesh=mesh, iterations=5, damping=1e-4, bucket=True
+    )
+    np.testing.assert_allclose(np.asarray(smb), np.asarray(sm), atol=1e-5)
+    np.testing.assert_allclose(float(cmb), float(cm), rtol=1e-5, atol=1e-8)

@@ -164,7 +164,7 @@ def test_ic_kernel_on_device(dev_pair):
     J8, L = ic_ops.ic_precompute(I0, D0, gx0, gy0, intr, 0.3, 5.0)
     T0 = se3.pose_matrix(jnp.zeros(6))
     for sampling in ("nearest", "bilinear"):
-        Tk, itk, gk, ck, nk = jax.block_until_ready(
+        Tk, itk, gk, ck, nk, _mk = jax.block_until_ready(
             ic_ops.ic_gn_level(
                 T0, D0, J8, L, I1, intr, 6, 1e-10, 1.0, sampling
             )
@@ -228,3 +228,77 @@ def test_full_alignment_recovers_pose_on_device(dev_pair):
     )
     st = np.asarray(res.state)
     assert np.linalg.norm(st - np.asarray(gt)) < 5e-3, st
+
+
+def test_band_fallback_improves_fast_rotation_trajectory():
+    """VERDICT r2 item 3 e2e: on a fast in-plane-rotation sequence the
+    banded kernels drop fine-level pixels; the production band_fallback
+    gate (PhotoconsistencyOdometryBase.optimize) must ENGAGE and the
+    integrated trajectory must be at least as accurate as with the
+    fallback disabled."""
+    from phovo_tpu.models.analytic import PhotoconsistencyOdometryAnalytic
+    from phovo_tpu.utils.config import PhovoConfig
+    from phovo_tpu.utils.synthetic import render_plane
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5),
+        np.float32(63.5),
+    )
+    shape = (128, 160)
+    n = 4
+    frames, gts = [], []
+    for k in range(n):
+        st = np.array(
+            [0.012 * k, -0.008 * k, 0.0, 0.28 * k, 0.0, 0.0], np.float64
+        )
+        T = np.asarray(se3.pose_matrix(st), np.float64)
+        I, D = render_plane(intr, shape, T)
+        frames.append((jnp.asarray(I), jnp.asarray(D)))
+        gts.append(np.linalg.inv(T))
+
+    cfg = PhovoConfig(
+        num_levels=3, blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.0625,) * 3, max_iterations=(10, 15, 20),
+        lambda_steps=(1.0,) * 3, min_gradient_norms=(1e-10,) * 3,
+        sampling="bilinear",
+    )
+
+    def run(band_fallback):
+        vo = PhotoconsistencyOdometryAnalytic(cfg)
+        vo.band_fallback = band_fallback
+        vo.set_intrinsic_matrix(np.asarray(intr.matrix()))
+        pose = np.eye(4)
+        max_masked_frac = 0.0
+        for k in range(n - 1):
+            vo.set_source_frame(*frames[k])
+            vo.set_target_frame(*frames[k + 1])
+            vo.set_initial_state_vector(np.zeros(6, np.float32))
+            res = vo.optimize()
+            bm = np.asarray(res.band_masked, np.float64)
+            nv = np.asarray(res.num_valid, np.float64)
+            max_masked_frac = max(
+                max_masked_frac,
+                float(np.max(bm / np.maximum(bm + nv, 1.0))),
+            )
+            Rt = se3.pose_matrix_np(np.asarray(res.state, np.float64))
+            pose = pose @ np.linalg.inv(Rt)
+        t_err = float(np.linalg.norm(pose[:3, 3] - gts[-1][:3, 3]))
+        dR = pose[:3, :3].T @ gts[-1][:3, :3]
+        r_err = float(
+            np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
+        )
+        return vo, t_err + r_err, max_masked_frac
+
+    vo_off, err_off, frac_off = run(0.0)
+    vo_on, err_on, frac_on = run(0.02)
+    # the scenario actually stresses the band: without the fallback the
+    # fused path must report material masking
+    assert frac_off > 0.02, frac_off
+    # the gate engaged at least once...
+    assert vo_on.band_fallbacks >= 1
+    # ...its returned diagnostics are the clean full-band ones...
+    assert frac_on <= 0.02, frac_on
+    # ...and the trajectory is at least as accurate (strictly better when
+    # the masked run had any real error to recover)
+    assert err_on <= err_off + 1e-6, (err_on, err_off)
+    assert err_on < 0.05, err_on
