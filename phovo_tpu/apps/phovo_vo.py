@@ -621,18 +621,54 @@ def _run_keyframe_mode(args, vo, seq) -> int:
             file=sys.stderr,
         )
 
+    import time as _time
+
     kvo = KeyframeVisualOdometry(
         vo,
         kf_translation=args.kf_translation,
         kf_rotation=args.kf_rotation,
         pg_solver=args.pg_solver,
     )
-    stream = (
-        kvo.run_chunked(prefetch(iter(seq)), chunk=args.chunk)
-        if chunked
-        else kvo.run(prefetch(iter(seq)))
+    # raw replay + chunked tracking: stream STORAGE-dtype frames (uint8
+    # intensity, uint16 depth counts as memmap views) and let the tracking
+    # dispatch convert on device — halves the host->device depth transfer
+    # and removes all host per-pixel work (keyframe-mode analog of the
+    # frame-chunked raw path)
+    raw_storage = (
+        chunked
+        and hasattr(seq, "read_chunk")
+        and hasattr(seq, "height")
+        and getattr(seq, "depth_dtype", np.float32) == np.uint16
     )
+    if raw_storage:
+        from phovo_tpu.datasets.tum import RGBDFrame
+
+        def storage_stream():
+            H, W = seq.height, seq.width
+            while True:
+                Ii, Dd, ts = seq.read_chunk(args.chunk, H, W)
+                if len(Ii) == 0:
+                    return
+                for k in range(len(Ii)):
+                    yield RGBDFrame(
+                        timestamp=float(ts[k]),
+                        depth_timestamp=float(ts[k]),
+                        intensity=Ii[k],
+                        depth=Dd[k],
+                    )
+
+        stream = kvo.run_chunked(
+            storage_stream(), chunk=args.chunk,
+            depth_scale=float(seq.depth_scale),
+        )
+    else:
+        stream = (
+            kvo.run_chunked(prefetch(iter(seq)), chunk=args.chunk)
+            if chunked
+            else kvo.run(prefetch(iter(seq)))
+        )
     n = 0
+    t0 = _time.perf_counter()
     for tf in stream:
         n += 1
         if not args.quiet:
@@ -642,26 +678,34 @@ def _run_keyframe_mode(args, vo, seq) -> int:
             )
         if args.max_frames is not None and n >= args.max_frames:
             break
+    t_track = _time.perf_counter() - t0
     tracked = kvo.finalize(
         ba_iterations=args.ba_iterations,
         ba_window=args.ba_window,
         ba_grid=args.ba_grid,
         ba_robust_delta=args.ba_robust_delta,
     )
+    t_finalize = _time.perf_counter() - t0 - t_track
+    print(
+        f"keyframe wall: track {t_track:.1f} s "
+        f"({n / max(t_track, 1e-9):.1f} frames/s), "
+        f"finalize {t_finalize:.1f} s"
+    )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:
             out.write(tf.timestamp, tf.pose)
-    if not args.quiet:
+    # one-line run summary, printed even under -q (the driver-facing
+    # record of what the back-end actually built)
+    print(
+        f"wrote {len(tracked)} poses ({len(kvo.keyframes)} keyframes, "
+        f"{len(kvo.loop_closures)} loop closures) to {args.output}"
+    )
+    nfb = kvo.band_fallbacks + getattr(vo, "band_fallbacks", 0)
+    if nfb:
         print(
-            f"wrote {len(tracked)} poses ({len(kvo.keyframes)} keyframes, "
-            f"{len(kvo.loop_closures)} loop closures) to {args.output}"
+            f"band fallback: {nfb} alignment(s) re-run full-band "
+            "(banded window exceeded --band-fallback)"
         )
-        nfb = kvo.band_fallbacks + getattr(vo, "band_fallbacks", 0)
-        if nfb:
-            print(
-                f"band fallback: {nfb} alignment(s) re-run full-band "
-                "(banded window exceeded --band-fallback)"
-            )
     _maybe_eval(args)
     return 0
 

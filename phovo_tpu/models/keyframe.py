@@ -221,7 +221,8 @@ class KeyframeVisualOdometry:
         self.flush_loop_closures()
 
     def run_chunked(
-        self, frames: Iterable[RGBDFrame], chunk: int = 16
+        self, frames: Iterable[RGBDFrame], chunk: int = 16,
+        depth_scale: float | None = None,
     ) -> Iterator[TrackedFrame]:
         """run() with chunked device tracking: B frames are tracked against
         the current keyframe in ONE dispatch (models/analytic.py
@@ -236,6 +237,12 @@ class KeyframeVisualOdometry:
         Requires the analytic backend (config/use_fused/intrinsics are read
         off the odometry object; tracking dispatches bypass its one-pair
         object API).
+
+        depth_scale: when set, incoming frames carry STORAGE-dtype depth
+        (uint16 counts, e.g. raw-replay memmap views) and conversion to
+        metric float happens ON DEVICE inside the tracking dispatch — the
+        host uploads 2-byte counts instead of 4-byte floats and does no
+        per-pixel work. Promoted keyframes are converted once at promotion.
         """
         import jax
 
@@ -247,12 +254,22 @@ class KeyframeVisualOdometry:
         if intr is None:
             raise RuntimeError("set_intrinsic_matrix before run_chunked")
 
+        def metric(fr: RGBDFrame) -> RGBDFrame:
+            """Storage-dtype -> metric-depth copy (promotions and full-band
+            re-tracks are rare; the bulk chunk stream stays storage dtype)."""
+            d = np.asarray(fr.depth)
+            if depth_scale is not None and d.dtype == np.uint16:
+                return dataclasses.replace(
+                    fr, depth=d.astype(np.float32) * np.float32(depth_scale)
+                )
+            return fr
+
         it = iter(frames)
         try:
             first = next(it)
         except StopIteration:
             return
-        self._promote(first, 0, np.eye(4))
+        self._promote(metric(first), 0, np.eye(4))
         npix = first.intensity.size
         last_rel_state = np.zeros(6, np.float32)
         frame_index = 0
@@ -260,7 +277,14 @@ class KeyframeVisualOdometry:
 
         def track(buf_frames, kf, init):
             I = np.stack([np.asarray(f.intensity) for f in buf_frames])
-            D = np.stack([np.asarray(f.depth, np.float32) for f in buf_frames])
+            if depth_scale is not None:
+                # storage dtype straight to the transfer buffer; the jitted
+                # tracker converts counts -> meters on device
+                D = np.stack([np.asarray(f.depth) for f in buf_frames])
+            else:
+                D = np.stack(
+                    [np.asarray(f.depth, np.float32) for f in buf_frames]
+                )
             if len(buf_frames) < chunk:
                 # pad to the compiled chunk shape (results discarded below);
                 # padding re-tracks the last frame, which is harmless
@@ -271,6 +295,9 @@ class KeyframeVisualOdometry:
                 kf.dev_intensity, kf.dev_depth,
                 jnp.asarray(I), jnp.asarray(D),
                 intr, jnp.asarray(init), cfg, use_fused,
+                depth_scale=(
+                    None if depth_scale is None else float(depth_scale)
+                ),
             )
             return jax.device_get(res)
 
@@ -308,11 +335,12 @@ class KeyframeVisualOdometry:
                         np.asarray(res.state[k - 1], np.float32)
                         if k > 0 else np.asarray(chunk_init, np.float32)
                     )
+                    fr_m = metric(fr)
                     rb = jax.device_get(
                         align_analytic(
                             kf.dev_intensity, kf.dev_depth,
-                            jnp.asarray(np.asarray(fr.intensity)),
-                            jnp.asarray(np.asarray(fr.depth, np.float32)),
+                            jnp.asarray(np.asarray(fr_m.intensity)),
+                            jnp.asarray(np.asarray(fr_m.depth, np.float32)),
                             intr, jnp.asarray(init_k), cfg, use_fused=False,
                         )
                     )
@@ -345,7 +373,7 @@ class KeyframeVisualOdometry:
                     or rot > self.kf_rotation
                     or overlap < self.kf_min_valid_fraction
                 ):
-                    new_kf = self._promote(fr, frame_index, pose)
+                    new_kf = self._promote(metric(fr), frame_index, pose)
                     self.odometry_edges.append(
                         (kf.index, new_kf.index, rel.copy())
                     )

@@ -147,7 +147,8 @@ def test_keyframe_chunked_fallback_engages(monkeypatch, intr):
 
     B = 4
 
-    def fake_track(kf_i, kf_d, I, D, _intr, init, _cfg, _fused):
+    def fake_track(kf_i, kf_d, I, D, _intr, init, _cfg, _fused,
+                   depth_scale=None):
         # frame 1 reports 30% masking; others clean
         bm = np.zeros((B, 1), np.float32)
         bm[1, 0] = 300.0

@@ -291,3 +291,66 @@ def test_batched_deferred_closures_match_serial(loop_sequence):
     for a, b in zip(kvo.loop_closures, ref.loop_closures):
         np.testing.assert_allclose(a.relative, b.relative, atol=1e-5)
         assert abs(a.mean_residual - b.mean_residual) < 1e-5
+
+
+def test_run_chunked_storage_depth_matches_metric(loop_sequence):
+    """Storage-dtype streaming (uint16 depth counts + on-device conversion,
+    the raw-replay keyframe path) must reproduce the metric-float path:
+    counts * scale on device equals the host conversion bit-for-bit for
+    these exactly-representable values' f32 product ordering."""
+    import dataclasses
+
+    frames, _ = loop_sequence
+    scale = 1.0 / 5000.0
+    storage = [
+        dataclasses.replace(
+            f,
+            depth=np.clip(
+                np.asarray(f.depth, np.float64) / scale + 0.5, 0, 65535
+            ).astype(np.uint16),
+        )
+        for f in frames
+    ]
+    # the metric reference sees the SAME quantized depth (u16 round trip)
+    metric = [
+        dataclasses.replace(
+            s, depth=s.depth.astype(np.float32) * np.float32(scale)
+        )
+        for s in storage
+    ]
+    ref = _make_kvo()
+    tracked_ref = list(ref.run_chunked(metric, chunk=4))
+    kvo = _make_kvo()
+    tracked = list(kvo.run_chunked(storage, chunk=4, depth_scale=scale))
+
+    assert [k.frame_index for k in kvo.keyframes] == [
+        k.frame_index for k in ref.keyframes
+    ]
+    assert len(tracked) == len(tracked_ref)
+    for a, b in zip(tracked, tracked_ref):
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-6)
+    # promoted keyframes store METRIC depth regardless of stream dtype
+    for k in kvo.keyframes:
+        assert k.depth.dtype == np.float32
+        assert float(k.depth.max()) < 100.0
+
+
+def test_finalize_pg_solver_cg_matches_dense(loop_sequence):
+    """Pipeline-level pin (VERDICT r3 item 1): the keyframe pipeline's
+    finalize with the matrix-free CG pose-graph solver must reproduce the
+    dense solver's trajectory on the same tracked sequence."""
+    frames, _ = loop_sequence
+    dense = _make_kvo()
+    dense.pg_solver = "dense"
+    list(dense.run(frames))
+    t_dense = dense.finalize()
+
+    cg = _make_kvo()
+    cg.pg_solver = "cg"
+    list(cg.run(frames))
+    t_cg = cg.finalize()
+
+    assert len(t_cg) == len(t_dense)
+    assert len(cg.loop_closures) == len(dense.loop_closures)
+    for a, b in zip(t_cg, t_dense):
+        np.testing.assert_allclose(a.pose, b.pose, atol=2e-4)

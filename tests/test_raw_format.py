@@ -116,3 +116,31 @@ def test_vo_from_raw_matches_png_path(tum_dir, raw_dir, tmp_path, chunk):  # noq
     np.testing.assert_allclose(
         np.asarray(est_raw.positions), np.asarray(est_png.positions), atol=1e-5
     )
+
+
+def test_vo_keyframe_mode_from_raw_matches_png_path(tum_dir, raw_dir, tmp_path):  # noqa: F811
+    """Keyframe mode over the raw replay (storage-dtype chunked tracking
+    with on-device depth conversion — apps/phovo_vo.py storage_stream) must
+    reproduce the PNG path's keyframe trajectory."""
+    from phovo_tpu.apps.phovo_vo import main
+    from phovo_tpu.utils.trajectory import read_trajectory
+
+    cfg = _vo_config(tmp_path)
+    out_png = tmp_path / "kf_png.txt"
+    out_raw = tmp_path / "kf_raw.txt"
+    common = [
+        "--config", str(cfg), "--intrinsics", "128,128,63.5,47.5", "--quiet",
+        "--mode", "keyframe", "--chunk", "3",
+        "--kf-translation", "0.05", "--kf-rotation", "0.05",
+    ]
+    assert main(["--dataset", str(tum_dir), "--output", str(out_png),
+                 "--loader", "python"] + common) == 0
+    assert main(["--dataset", str(raw_dir), "--output", str(out_raw)] + common) == 0
+
+    est_png = read_trajectory(out_png)
+    est_raw = read_trajectory(out_raw)
+    assert len(est_png) == len(est_raw)
+    np.testing.assert_allclose(
+        np.asarray(est_raw.positions), np.asarray(est_png.positions),
+        atol=1e-5,
+    )
