@@ -1,7 +1,8 @@
 """Headline benchmark: RGB-D frame-alignment throughput on one TPU chip.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+     "early_exit_pairs_per_s": N}
 
 Workload: full multi-level analytic alignment (pyramids + Scharr + coarse-to
 -fine Gauss-Newton) of a synthetic 640x480 RGB-D pair using the 5-level
@@ -13,6 +14,16 @@ vs_baseline compares against the reference's CPU implementation measured by
 native/baseline_bench (a faithful C++ -O3 re-execution of the analytic
 backend's math — the reference publishes no numbers, SURVEY §6); the
 measured figure is cached in native/baseline_cpu.json.
+
+Two methodologies, reported side by side (VERDICT r2 item 5):
+  value / vs_baseline — FIXED-ITERATION throughput (min_gradient_norm 0,
+    identical work every run; the apples-to-apples baseline comparison).
+  early_exit_pairs_per_s — the same chunked scan with the shipped presets'
+    gradient-norm termination (min_gradient_norm 300): what the chip
+    actually serves under deployment semantics, where most pairs converge
+    in far fewer than 75 iterations. This is the DEPLOYMENT number; it is
+    not the baseline comparison because the CPU baseline runs fixed
+    iterations.
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ H, W = 480, 640
 REPEATS = 20
 
 
-def _bench_config():
+def _bench_config(min_gradient_norm: float = 0.0):
     from phovo_tpu.utils.config import PhovoConfig
 
     return PhovoConfig(
@@ -44,7 +55,9 @@ def _bench_config():
         gradient_scales=(0.0625,) * 5,
         max_iterations=(0, 0, 5, 20, 50),
         lambda_steps=(1.0,) * 5,
-        min_gradient_norms=(0.0,) * 5,  # never fire: fixed work per align
+        # 0 never fires (fixed work per align, the headline methodology);
+        # 300 is the shipped presets' termination (deployment semantics)
+        min_gradient_norms=(min_gradient_norm,) * 5,
         sampling="nearest",
         # the production default (hi/lo bfloat16 residual channels +
         # single-pass bf16 gradient channels: one 128-row MXU pass, ~3e-5
@@ -74,6 +87,7 @@ def main() -> int:
     from phovo_tpu.utils.synthetic import make_pair
 
     cfg = _bench_config()
+    cfg_ee = _bench_config(min_gradient_norm=300.0)
     I0, D0, I1, D1, _ = make_pair(TUM_FR1, shape=(H, W))
     # A buffered video segment of alternating frames: 64 consecutive pairs
     # aligned per device dispatch (the throughput deployment shape,
@@ -98,6 +112,15 @@ def main() -> int:
     jax.block_until_ready(res.state)
     dt = (time.perf_counter() - t0) / REPEATS / n_pairs
 
+    # deployment semantics: same scan, preset gradient-norm termination
+    res = align_sequence(Is, Ds, TUM_FR1, cfg_ee)
+    jax.block_until_ready(res.state)
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        res = align_sequence(Is, Ds, TUM_FR1, cfg_ee)
+    jax.block_until_ready(res.state)
+    dt_ee = (time.perf_counter() - t0) / REPEATS / n_pairs
+
     fps = 1.0 / dt
     base = reference_cpu_fps()
     vs = (fps / base) if base else None
@@ -108,6 +131,7 @@ def main() -> int:
                 "value": round(fps, 3),
                 "unit": "frames/s (640x480, 5-level, 75 GN iters)",
                 "vs_baseline": round(vs, 3) if vs is not None else None,
+                "early_exit_pairs_per_s": round(1.0 / dt_ee, 3),
             }
         )
     )

@@ -235,20 +235,56 @@ def smooth_trajectory(
     return poses
 
 
+def rotation_trajectory(
+    n_frames: int, motion_scale: float = 1.0, seed: int = 0
+) -> list[np.ndarray]:
+    """Rotation-DOMINANT camera trajectory (list of T_cam_from_world).
+
+    smooth_trajectory is translation-dominant (~0.3 deg/frame of rotation);
+    this one swings ~2 deg/frame peaks of yaw/pitch/roll with only millimetre
+    translation — the regime that stresses the Jacobian's rotation columns,
+    the fused kernels' banded sampling window, and every documented
+    rotation-coupled divergence from the reference math (VERDICT r2 item 6:
+    the parity scenes were all translation-dominant)."""
+    from phovo_tpu.ops import se3
+
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, 6)
+    amp_t = np.array([0.015, 0.010, 0.012]) * motion_scale
+    amp_r = np.array([0.30, 0.24, 0.36]) * motion_scale
+    poses = []
+    for k in range(n_frames):
+        u = 2 * np.pi * k / 60.0
+        state = np.concatenate(
+            [
+                amp_t * np.sin(u + phase[:3]) - amp_t * np.sin(phase[:3]),
+                amp_r * np.sin(u + phase[3:]) - amp_r * np.sin(phase[3:]),
+            ]
+        ).astype(np.float64)
+        poses.append(np.asarray(se3.pose_matrix(state), dtype=np.float64))
+    return poses
+
+
 def make_sequence(
     intr: Intrinsics,
     shape: tuple[int, int] = (480, 640),
     n_frames: int = 30,
     motion_scale: float = 1.0,
     seed: int = 0,
+    trajectory: str = "smooth",
 ) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray], np.ndarray]:
     """Synthetic RGB-D sequence with exact ground truth.
 
     Returns (intensities, depths, gt_world_from_cam poses, timestamps).
     gt poses are what a VO pipeline integrating pose <- pose @ Rt^-1
     (PhotoconsistencyVisualOdometry.cpp:233-234) should reproduce.
+    trajectory: 'smooth' (translation-dominant handheld sway) or
+    'rotation' (rotation-dominant, rotation_trajectory).
     """
-    poses_cw = smooth_trajectory(n_frames, motion_scale, seed)
+    traj_fn = {
+        "smooth": smooth_trajectory, "rotation": rotation_trajectory,
+    }[trajectory]
+    poses_cw = traj_fn(n_frames, motion_scale, seed)
     intensities, depths, gts = [], [], []
     for T in poses_cw:
         I, D = render_plane(intr, shape, T)

@@ -16,9 +16,10 @@ Usage:
 
 Real TUM sequences are unreachable from this container (zero egress), so
 the sequence is synthetic (utils/synthetic.make_sequence); the harness
-accepts --scene plane|cluttered (cluttered = occluding boxes + depth noise
-+ exposure drift, see utils/synthetic.render_cluttered) to show parity
-holds beyond the easy scene.
+accepts --scene plane|cluttered|rotation (cluttered = occluding boxes +
+depth noise + exposure drift, see utils/synthetic.render_cluttered;
+rotation = rotation-dominant trajectory, utils/synthetic
+.rotation_trajectory) to show parity holds beyond the easy scene.
 """
 
 from __future__ import annotations
@@ -120,7 +121,8 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--shape", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--motion-scale", type=float, default=1.0)
-    ap.add_argument("--scene", default="plane", choices=("plane", "cluttered"))
+    ap.add_argument("--scene", default="plane",
+                    choices=("plane", "cluttered", "rotation"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--presets", default="all")
     ap.add_argument("--out-md", default=None)
@@ -142,6 +144,13 @@ def main(argv=None):
     if args.scene == "plane":
         I, D, gts, _ = synthetic.make_sequence(
             intr, (H, W), args.frames, args.motion_scale, args.seed
+        )
+    elif args.scene == "rotation":
+        # rotation-dominant plane scene: stresses the Jacobian rotation
+        # columns and the banded sampling window (VERDICT r2 item 6)
+        I, D, gts, _ = synthetic.make_sequence(
+            intr, (H, W), args.frames, args.motion_scale, args.seed,
+            trajectory="rotation",
         )
     else:
         I, D, gts, _ = synthetic.make_cluttered_sequence(
