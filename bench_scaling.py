@@ -150,6 +150,8 @@ def main() -> int:
     # aligned pairs/s = S*(T-1)/dispatch; each stream also gets its global
     # trajectory integrated on device.
     if not args.skip_serve_sweep:
+        import dataclasses
+
         from phovo_tpu.parallel.batch import make_multi_sequence_server
 
         T = args.frames_per_stream
@@ -160,24 +162,44 @@ def main() -> int:
             [jnp.asarray(D0 if k % 2 == 0 else D1) for k in range(T)]
         )
         mesh = make_mesh(1)
-        serve = make_multi_sequence_server(mesh, cfg, use_fused=True)
-        for S in (int(x) for x in args.streams.split(",")):
-            Is = jnp.asarray(np.broadcast_to(seq_I, (S, T, H, W)).copy())
-            Ds = jnp.asarray(np.broadcast_to(seq_D, (S, T, H, W)).copy())
-            _, poses = serve(Is, Ds, intr)
-            jax.block_until_ready(poses)
-            t0 = time.perf_counter()
-            for _ in range(args.repeats):
+        # Both serving methodologies, first-class (VERDICT r2 item 5):
+        #   fixed      — min_gradient_norm 0, every pair runs the full 75
+        #                iterations (identical work; baseline-comparable)
+        #   early_exit — the shipped presets' gradient-norm termination
+        #                (min_gradient_norm 300): the DEPLOYMENT semantics,
+        #                ~2.6x the fixed-iteration ceiling at 8 streams.
+        # p50/p99 are per-DISPATCH latencies (one dispatch = S streams x
+        # T-1 pairs): the serving path's chunk-level latency distribution.
+        cfg_ee = dataclasses.replace(cfg, min_gradient_norms=(300.0,) * 5)
+        for semantics, c in (("fixed", cfg), ("early_exit", cfg_ee)):
+            serve = make_multi_sequence_server(mesh, c, use_fused=True)
+            for S in (int(x) for x in args.streams.split(",")):
+                Is = jnp.asarray(np.broadcast_to(seq_I, (S, T, H, W)).copy())
+                Ds = jnp.asarray(np.broadcast_to(seq_D, (S, T, H, W)).copy())
                 _, poses = serve(Is, Ds, intr)
-            jax.block_until_ready(poses)
-            dt = (time.perf_counter() - t0) / args.repeats
-            pairs = S * (T - 1)
-            print(json.dumps({
-                "mode": "serve_sweep", "streams": S, "frames_per_stream": T,
-                "pairs_per_s": round(pairs / dt, 2),
-                "per_stream_fps": round((T - 1) / dt, 2),
-                "platform": jax.devices()[0].platform,
-            }))
+                jax.block_until_ready(poses)
+                lat = []
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    _, poses = serve(Is, Ds, intr)
+                    jax.block_until_ready(poses)
+                    lat.append(time.perf_counter() - t0)
+                lat = np.asarray(lat)
+                dt = float(lat.mean())
+                pairs = S * (T - 1)
+                print(json.dumps({
+                    "mode": "serve_sweep", "semantics": semantics,
+                    "streams": S, "frames_per_stream": T,
+                    "pairs_per_s": round(pairs / dt, 2),
+                    "per_stream_fps": round((T - 1) / dt, 2),
+                    "dispatch_p50_ms": round(
+                        float(np.percentile(lat, 50)) * 1e3, 2
+                    ),
+                    "dispatch_p99_ms": round(
+                        float(np.percentile(lat, 99)) * 1e3, 2
+                    ),
+                    "platform": jax.devices()[0].platform,
+                }))
     return 0
 
 
