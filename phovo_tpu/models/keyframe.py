@@ -275,25 +275,58 @@ class KeyframeVisualOdometry:
         frame_index = 0
         buf: list[RGBDFrame] = []
 
-        def track(buf_frames, kf, init):
-            I = np.stack([np.asarray(f.intensity) for f in buf_frames])
+        # Device-resident frame buffer, aligned with `buf`. Every frame is
+        # uploaded exactly ONCE (in storage dtype): when a mid-chunk
+        # promotion forces the chunk tail to re-track against the new
+        # keyframe, the re-dispatch reuses the device copies instead of
+        # re-uploading — without this, promotions every ~P frames re-upload
+        # each frame ~chunk/P times, which dominated map-scale tracking
+        # wall on a tunnel-attached chip (measured 6x upload inflation at
+        # chunk 32 with promotions every 5 frames).
+        dev = {"I": None, "D": None}
+
+        def refill():
+            new = []
+            while len(buf) < chunk:
+                fr = next(it, None)
+                if fr is None:
+                    break
+                buf.append(fr)
+                new.append(fr)
+            if not new:
+                return
+            nI = jnp.asarray(
+                np.stack([np.asarray(f.intensity) for f in new])
+            )
             if depth_scale is not None:
                 # storage dtype straight to the transfer buffer; the jitted
                 # tracker converts counts -> meters on device
-                D = np.stack([np.asarray(f.depth) for f in buf_frames])
+                nD = jnp.asarray(np.stack([np.asarray(f.depth) for f in new]))
             else:
-                D = np.stack(
-                    [np.asarray(f.depth, np.float32) for f in buf_frames]
+                nD = jnp.asarray(
+                    np.stack([np.asarray(f.depth, np.float32) for f in new])
                 )
-            if len(buf_frames) < chunk:
+            dev["I"] = nI if dev["I"] is None else jnp.concatenate([dev["I"], nI])
+            dev["D"] = nD if dev["D"] is None else jnp.concatenate([dev["D"], nD])
+
+        def drop(consumed):
+            if consumed >= len(buf):
+                dev["I"] = dev["D"] = None
+                return []
+            dev["I"] = dev["I"][consumed:]
+            dev["D"] = dev["D"][consumed:]
+            return buf[consumed:]
+
+        def track(kf, init):
+            I, D = dev["I"], dev["D"]
+            if I.shape[0] < chunk:
                 # pad to the compiled chunk shape (results discarded below);
                 # padding re-tracks the last frame, which is harmless
-                reps = chunk - len(buf_frames)
-                I = np.concatenate([I, np.repeat(I[-1:], reps, 0)])
-                D = np.concatenate([D, np.repeat(D[-1:], reps, 0)])
+                reps = chunk - I.shape[0]
+                I = jnp.concatenate([I, jnp.repeat(I[-1:], reps, 0)])
+                D = jnp.concatenate([D, jnp.repeat(D[-1:], reps, 0)])
             res = track_sequence_chunk(
-                kf.dev_intensity, kf.dev_depth,
-                jnp.asarray(I), jnp.asarray(D),
+                kf.dev_intensity, kf.dev_depth, I, D,
                 intr, jnp.asarray(init), cfg, use_fused,
                 depth_scale=(
                     None if depth_scale is None else float(depth_scale)
@@ -302,16 +335,12 @@ class KeyframeVisualOdometry:
             return jax.device_get(res)
 
         while True:
-            while len(buf) < chunk:
-                fr = next(it, None)
-                if fr is None:
-                    break
-                buf.append(fr)
+            refill()
             if not buf:
                 break
             kf = self.keyframes[-1]
             chunk_init = last_rel_state
-            res = track(buf, kf, chunk_init)
+            res = track(kf, chunk_init)
             consumed = 0
             for k in range(len(buf)):
                 fr = buf[k]
@@ -381,7 +410,7 @@ class KeyframeVisualOdometry:
                     last_rel_state = np.zeros(6, np.float32)
                     break  # re-track the chunk tail against the new keyframe
                 last_rel_state = state.astype(np.float32)
-            buf = buf[consumed:]
+            buf = drop(consumed)
         self.flush_loop_closures()
 
     def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
