@@ -275,56 +275,45 @@ class KeyframeVisualOdometry:
         frame_index = 0
         buf: list[RGBDFrame] = []
 
-        # Device-resident frame buffer, aligned with `buf`. Every frame is
-        # uploaded exactly ONCE (in storage dtype): when a mid-chunk
-        # promotion forces the chunk tail to re-track against the new
-        # keyframe, the re-dispatch reuses the device copies instead of
+        # Device-resident frame buffer, aligned with `buf`: a python list of
+        # per-frame (H, W) device arrays in storage dtype. Every frame is
+        # uploaded exactly ONCE (device_put, no XLA program): when a
+        # mid-chunk promotion forces the chunk tail to re-track against the
+        # new keyframe, the re-dispatch reuses the device copies instead of
         # re-uploading — without this, promotions every ~P frames re-upload
         # each frame ~chunk/P times, which dominated map-scale tracking
-        # wall on a tunnel-attached chip (measured 6x upload inflation at
-        # chunk 32 with promotions every 5 frames).
-        dev = {"I": None, "D": None}
+        # wall on a tunnel-attached chip (6x upload inflation at chunk 32
+        # with promotions every 5 frames). Buffer management stays in host
+        # python lists so every device op keeps a STATIC shape: the tracked
+        # chunk is one jnp.stack of exactly `chunk` (H, W) arrays, padded by
+        # repeating the last list element (a first cut concatenated/sliced
+        # (M, H, W) device arrays with varying M — each novel M cost a
+        # ~0.4 s XLA compile, 27 s of the 160-frame profile).
+        dev_I: list = []
+        dev_D: list = []
 
         def refill():
-            new = []
             while len(buf) < chunk:
                 fr = next(it, None)
                 if fr is None:
                     break
                 buf.append(fr)
-                new.append(fr)
-            if not new:
-                return
-            nI = jnp.asarray(
-                np.stack([np.asarray(f.intensity) for f in new])
-            )
-            if depth_scale is not None:
-                # storage dtype straight to the transfer buffer; the jitted
-                # tracker converts counts -> meters on device
-                nD = jnp.asarray(np.stack([np.asarray(f.depth) for f in new]))
-            else:
-                nD = jnp.asarray(
-                    np.stack([np.asarray(f.depth, np.float32) for f in new])
-                )
-            dev["I"] = nI if dev["I"] is None else jnp.concatenate([dev["I"], nI])
-            dev["D"] = nD if dev["D"] is None else jnp.concatenate([dev["D"], nD])
-
-        def drop(consumed):
-            if consumed >= len(buf):
-                dev["I"] = dev["D"] = None
-                return []
-            dev["I"] = dev["I"][consumed:]
-            dev["D"] = dev["D"][consumed:]
-            return buf[consumed:]
+                dev_I.append(jnp.asarray(np.asarray(fr.intensity)))
+                if depth_scale is not None:
+                    # storage dtype straight to the transfer buffer; the
+                    # jitted tracker converts counts -> meters on device
+                    dev_D.append(jnp.asarray(np.asarray(fr.depth)))
+                else:
+                    dev_D.append(
+                        jnp.asarray(np.asarray(fr.depth, np.float32))
+                    )
 
         def track(kf, init):
-            I, D = dev["I"], dev["D"]
-            if I.shape[0] < chunk:
-                # pad to the compiled chunk shape (results discarded below);
-                # padding re-tracks the last frame, which is harmless
-                reps = chunk - I.shape[0]
-                I = jnp.concatenate([I, jnp.repeat(I[-1:], reps, 0)])
-                D = jnp.concatenate([D, jnp.repeat(D[-1:], reps, 0)])
+            # pad to the compiled chunk shape by repeating the last frame
+            # (host-side list op; results discarded below)
+            pad = chunk - len(buf)
+            I = jnp.stack(dev_I + [dev_I[-1]] * pad)
+            D = jnp.stack(dev_D + [dev_D[-1]] * pad)
             res = track_sequence_chunk(
                 kf.dev_intensity, kf.dev_depth, I, D,
                 intr, jnp.asarray(init), cfg, use_fused,
@@ -410,7 +399,9 @@ class KeyframeVisualOdometry:
                     last_rel_state = np.zeros(6, np.float32)
                     break  # re-track the chunk tail against the new keyframe
                 last_rel_state = state.astype(np.float32)
-            buf = drop(consumed)
+            buf = buf[consumed:]
+            del dev_I[:consumed]
+            del dev_D[:consumed]
         self.flush_loop_closures()
 
     def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
