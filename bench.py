@@ -89,13 +89,16 @@ def main() -> int:
     cfg = _bench_config()
     cfg_ee = _bench_config(min_gradient_norm=300.0)
     I0, D0, I1, D1, _ = make_pair(TUM_FR1, shape=(H, W))
-    # A buffered video segment of alternating frames: 64 consecutive pairs
+    # A buffered video segment of alternating frames: 256 consecutive pairs
     # aligned per device dispatch (the throughput deployment shape,
-    # phovo-vo --chunk 64 — the CPU baseline's tight frame loop has no
+    # phovo-vo --chunk 256 — the CPU baseline's tight frame loop has no
     # dispatch overhead either, so sequence throughput is the
     # apples-to-apples metric; this chip is attached through a network
     # tunnel whose ~1.5 ms per-dispatch latency the chunk amortizes).
-    B = 65
+    # Chunk-size curve measured by tools/frame_fusion_probe (r3):
+    # 32 -> 297 us/frame, 64 -> 278, 128 -> 266-269, 256 -> 262 —
+    # asymptoting at the ~260 us serial-iteration device floor.
+    B = 257
     Is = jnp.asarray(np.stack([I0, I1] * ((B + 1) // 2))[:B])
     Ds = jnp.asarray(np.stack([D0, D1] * ((B + 1) // 2))[:B])
     n_pairs = B - 1
