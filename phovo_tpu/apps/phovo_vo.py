@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "for N Gauss-Newton iterations (0 = off)")
     p.add_argument("--ba-window", type=int, default=8,
                    help="keyframe window size for photometric BA")
+    p.add_argument("--ba-scope", default="window",
+                   choices=["window", "global"],
+                   help="photometric BA scope: sliding windows (dense-Schur "
+                        "scale) or ONE joint problem over all keyframes with "
+                        "covisibility-limited observations (map scale; the "
+                        "auto Schur router flips to the sparse path when "
+                        "dense W would not fit)")
+    p.add_argument("--ba-covis", type=int, default=6,
+                   help="global BA: observations per landmark (nearest "
+                        "keyframes by camera center)")
     p.add_argument("--ba-grid", type=int, default=8,
                    help="landmarks per keyframe = grid*grid (one per cell "
                         "at the cell's highest-gradient valid-depth pixel)")
@@ -684,6 +694,8 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         ba_window=args.ba_window,
         ba_grid=args.ba_grid,
         ba_robust_delta=args.ba_robust_delta,
+        ba_scope=args.ba_scope,
+        ba_covis=args.ba_covis,
     )
     t_finalize = _time.perf_counter() - t0 - t_track
     print(

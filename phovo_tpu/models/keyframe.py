@@ -665,19 +665,31 @@ class KeyframeVisualOdometry:
         ba_grid: int = 8,
         ba_damping: float = 1e-4,
         ba_robust_delta: float | None = None,
+        ba_scope: str = "window",
+        ba_covis: int = 6,
     ) -> list[TrackedFrame]:
         """Pose-graph optimize keyframes, optionally refine with windowed
         photometric bundle adjustment, and recompose all frame poses.
 
-        With ba_iterations > 0, sliding keyframe windows of size `ba_window`
-        (first pose of each window anchored on its already-refined estimate)
-        are jointly refined by parallel/photometric_ba.py — poses AND sparse
-        landmarks against the keyframes' stored intensity/depth images. This
-        polishes the graph solution with actual image evidence instead of
-        only pairwise relative-pose measurements.
+        With ba_iterations > 0, the pose-graph solution is refined by
+        photometric bundle adjustment (parallel/photometric_ba.py — poses
+        AND sparse landmarks against the keyframes' stored intensity/depth
+        images), polishing with actual image evidence instead of only
+        pairwise relative-pose measurements. ba_scope:
+
+          'window' — sliding keyframe windows of size `ba_window` (first
+            pose of each window anchored on its already-refined estimate);
+            dense-Schur scale, the default.
+          'global' — ONE joint problem over ALL keyframes with
+            covisibility-limited observations (`ba_covis` nearest
+            keyframes per landmark, build_photometric_global); at map
+            scale the auto Schur router flips to the sparse segment-sum
+            path (dense W would not fit), gauge anchored on keyframe 0.
 
         Returns the tracked frames with `pose` updated in place.
         """
+        if ba_scope not in ("window", "global"):
+            raise ValueError(f"ba_scope={ba_scope!r}")
         if len(self.keyframes) >= 2:
             graph = self.build_pose_graph()
             # bucket=True: graph sizes vary run to run; bucketed shapes
@@ -692,10 +704,16 @@ class KeyframeVisualOdometry:
             for k, kf in enumerate(self.keyframes):
                 kf.pose = se3.pose_matrix_np(states[k])
         if ba_iterations > 0 and len(self.keyframes) >= 2:
-            self._refine_photometric(
-                mesh, ba_iterations, ba_window, ba_grid, ba_damping,
-                ba_robust_delta,
-            )
+            if ba_scope == "global":
+                self._refine_photometric_global(
+                    mesh, ba_iterations, ba_grid, ba_damping,
+                    ba_robust_delta, ba_covis,
+                )
+            else:
+                self._refine_photometric(
+                    mesh, ba_iterations, ba_window, ba_grid, ba_damping,
+                    ba_robust_delta,
+                )
         kf_by_index = {k.index: k for k in self.keyframes}
         for tf in self.tracked:
             tf.pose = kf_by_index[tf.keyframe_index].pose @ tf.rel_to_keyframe
@@ -744,3 +762,48 @@ class KeyframeVisualOdometry:
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):
                 kf.pose = se3.pose_matrix_np(refined[k])
+
+    def _refine_photometric_global(
+        self, mesh, iterations: int, grid: int, damping: float,
+        robust_delta: float | None, covis: int,
+    ) -> None:
+        """ba_scope='global': one joint photometric BA over ALL keyframes
+        (build_photometric_global) — the map-scale path that exercises the
+        sparse segment-sum Schur through the production pipeline. The
+        keyframes' device-resident image buffers are stacked on device
+        (no re-upload of M full frames through the tunnel)."""
+        import jax
+
+        from phovo_tpu.models.base import device_unit_intensity
+        from phovo_tpu.parallel.photometric_ba import (
+            build_photometric_global,
+            optimize_photometric_bundle,
+        )
+
+        intr = self.odometry.intrinsics
+        if intr is None:
+            raise RuntimeError(
+                "photometric BA needs intrinsics on the odometry backend"
+            )
+        kfs = self.keyframes
+        states = se3.matrix_to_state_np(
+            np.stack([k.pose for k in kfs])
+        ).astype(np.float32)
+        dev_I = device_unit_intensity(
+            jnp.stack([k.dev_intensity for k in kfs])
+        ).astype(jnp.float32)
+        dev_D = jnp.stack([k.dev_depth for k in kfs])
+        problem = build_photometric_global(
+            np.stack([k.intensity for k in kfs]),
+            np.stack([k.depth for k in kfs]).astype(np.float32),
+            states, intr, grid=grid, max_covis=covis,
+            device_intensities=dev_I, device_depths=dev_D,
+        )
+        refined, _, _ = optimize_photometric_bundle(
+            problem, intr, mesh=mesh, iterations=iterations,
+            damping=damping, fixed_first=True,
+            robust_delta=robust_delta, schur="auto",
+        )
+        refined = np.asarray(jax.device_get(refined), np.float64)
+        for k, kf in enumerate(kfs):
+            kf.pose = se3.pose_matrix_np(refined[k])

@@ -352,6 +352,115 @@ def _optimize_photometric_jit(
 # -- front-end ----------------------------------------------------------------
 
 
+def build_photometric_global(
+    intensities: np.ndarray,  # (M, H, W) host intensities (0..1 or u8)
+    depths: np.ndarray,  # (M, H, W) host metric depths
+    pose_states: np.ndarray,  # (M, 6)
+    intr: Intrinsics,
+    grid: int = 8,
+    max_covis: int = 6,
+    photo_weight: float = 1.0,
+    depth_weight_scale: float = 1.0,
+    device_intensities: jax.Array | None = None,  # (M, H, W) float 0..1
+    device_depths: jax.Array | None = None,  # (M, H, W) float meters
+) -> PhotometricBAProblem:
+    """Assemble ONE photometric BA problem over ALL M keyframes (map-scale
+    scope; the window builder observes every landmark in every other
+    keyframe, which is O(M^2 grid^2) observations and mostly out-of-view at
+    map scale).
+
+    Observations are COVISIBILITY-limited: each landmark is observed in at
+    most `max_covis` keyframes — the nearest by camera-center distance to
+    its host (excluding the host itself; rows self-gate in the residual if
+    the projection still leaves the frame). K = M * grid^2 * max_covis
+    stays O(M), and the dense-W Schur footprint 2*M*P*18*4 grows as
+    M^2 grid^2 — past the DENSE_W_BUDGET the auto router flips to the
+    sparse segment-sum Schur path, which is exactly the map-scale regime
+    this builder exists for.
+
+    device_intensities/device_depths: already-device-resident float image
+    stacks (e.g. stacked Keyframe.dev_* buffers) — avoids re-uploading
+    M full frames through the host when the pipeline calls this after
+    tracking. Host arrays are still required for landmark selection."""
+    intensities = np.asarray(intensities)
+    if intensities.dtype == np.uint8:
+        intensities = intensities.astype(np.float32) / 255.0
+    depths = np.asarray(depths, np.float32)
+    pose_states = np.asarray(pose_states, np.float32)
+    M, H, W = intensities.shape
+    if M < 2:
+        raise ValueError("global BA needs at least 2 keyframes")
+    max_covis = max(1, min(max_covis, M - 1))
+    fx = float(np.asarray(intr.fx))
+    fy = float(np.asarray(intr.fy))
+    cx = float(np.asarray(intr.cx))
+    cy = float(np.asarray(intr.cy))
+
+    G = grid * grid
+    Pn = M * G
+    pts = np.zeros((Pn, 3), np.float32)
+    ref_i = np.zeros(Pn, np.float32)
+    valid_lm = np.zeros(Pn, bool)
+    centers = np.zeros((M, 3), np.float64)
+    Ts = [se3.pose_matrix_np(pose_states[m]) for m in range(M)]
+    for m in range(M):
+        centers[m] = Ts[m][:3, 3]
+        sel = select_landmark_pixels(intensities[m], depths[m], grid=grid)
+        base = m * G
+        for k, (r, c) in enumerate(sel):
+            if r >= 0:
+                z = float(depths[m][r, c])
+                pc = np.array([(c - cx) * z / fx, (r - cy) * z / fy, z, 1.0])
+                pts[base + k] = (Ts[m] @ pc)[:3]
+                ref_i[base + k] = float(intensities[m][r, c])
+                valid_lm[base + k] = True
+    if not valid_lm.any():
+        raise ValueError("no valid landmarks found")
+
+    # nearest-covisible keyframes per HOST (shared by its G landmarks)
+    d2 = np.sum(
+        (centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1
+    )
+    np.fill_diagonal(d2, np.inf)
+    near = np.argsort(d2, axis=1)[:, :max_covis].astype(np.int32)  # (M, C)
+
+    obs_pose = np.full((Pn, max_covis), -1, np.int32)
+    obs_point = np.zeros((Pn, max_covis), np.int32)
+    for m in range(M):
+        rows = slice(m * G, (m + 1) * G)
+        obs_pose[rows] = np.where(
+            valid_lm[rows, None], near[m][None, :], -1
+        )
+        obs_point[rows] = np.arange(m * G, (m + 1) * G)[:, None]
+    obs_pose = obs_pose.reshape(-1)
+    obs_point = obs_point.reshape(-1)
+
+    pos = depths[depths > 0]
+    mean_z = float(pos.mean()) if pos.size else 1.0
+    zw = depth_weight_scale * (fx / max(mean_z, 0.1)) ** 2
+    dev_I = (
+        device_intensities
+        if device_intensities is not None
+        else jnp.asarray(intensities, jnp.float32)
+    )
+    dev_D = (
+        device_depths
+        if device_depths is not None
+        else jnp.asarray(depths)
+    )
+    return PhotometricBAProblem(
+        pose_states=jnp.asarray(pose_states),
+        points=jnp.asarray(pts),
+        intensities=dev_I,
+        depths=dev_D,
+        ref_intensity=jnp.asarray(ref_i, jnp.float32),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_point=jnp.asarray(obs_point),
+        weights=jnp.full(obs_pose.shape, photo_weight, jnp.float32),
+        z_weights=jnp.full(obs_pose.shape, zw, jnp.float32),
+    )
+
+
 def select_landmark_pixels(
     intensity: np.ndarray,
     depth: np.ndarray,

@@ -209,3 +209,96 @@ def test_photometric_sparse_schur_matches_dense():
     # under f32 reduction reordering; poses are the well-conditioned output
     np.testing.assert_allclose(np.asarray(ps), np.asarray(pd), atol=5e-3)
     np.testing.assert_allclose(float(cs), float(cd), rtol=0.05, atol=1e-6)
+
+
+def test_global_builder_covisibility_structure():
+    """build_photometric_global: max_covis observations per landmark, host
+    excluded, invalid landmarks padded, nearest-by-center selection."""
+    from phovo_tpu.parallel.photometric_ba import build_photometric_global
+
+    n_kf, grid, covis = 6, 4, 3
+    gt = np.zeros((n_kf, 6), np.float32)
+    gt[:, 0] = np.linspace(0.0, 0.3, n_kf)
+    I, D = _render_window(gt)
+    problem = build_photometric_global(
+        I, D, gt, INTR, grid=grid, max_covis=covis
+    )
+    G = grid * grid
+    Pn = n_kf * G
+    assert problem.points.shape == (Pn, 3)
+    obs_pose = np.asarray(problem.obs_pose).reshape(Pn, covis)
+    obs_point = np.asarray(problem.obs_point).reshape(Pn, covis)
+    for j in range(Pn):
+        host = j // G
+        row = obs_pose[j]
+        if (row >= 0).any():
+            assert host not in row[row >= 0]  # host never observes its own
+            assert np.all(obs_point[j] == j)
+            # nearest-by-center: hosts are colinear in x, so covis picks
+            # index-adjacent keyframes
+            assert np.all(np.abs(row[row >= 0] - host) <= covis)
+
+
+def test_global_ba_tightens_poses():
+    """One joint problem over all keyframes must contract pose error like
+    the windowed path does (same optimizer, covis-limited observations)."""
+    from phovo_tpu.parallel.photometric_ba import build_photometric_global
+
+    rng = np.random.default_rng(5)
+    n_kf = 5
+    gt = np.zeros((n_kf, 6), np.float32)
+    gt[:, 0] = np.linspace(0.0, 0.16, n_kf)
+    gt[:, 4] = np.linspace(0.0, 0.03, n_kf)
+    I, D = _render_window(gt)
+    init = gt + rng.normal(0.0, 0.01, gt.shape).astype(np.float32)
+    init[0] = gt[0]
+    problem = build_photometric_global(
+        I, D, init, INTR, grid=8, max_covis=3
+    )
+    states, _, cost = optimize_photometric_bundle(
+        problem, INTR, iterations=8, damping=1e-4, fixed_first=True
+    )
+    err0 = float(np.abs(init - np.asarray(gt)).max())
+    err1 = float(np.abs(np.asarray(states) - np.asarray(gt)).max())
+    assert np.isfinite(float(cost))
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_global_ba_through_keyframe_pipeline():
+    """ba_scope='global' must run through KeyframeVisualOdometry.finalize
+    and keep the trajectory close to the pose-graph solution (image
+    evidence refines, never corrupts, on an exactly-rendered scene)."""
+    from tests.test_keyframe import CFG, INTR as KINTR, _make_kvo
+    from tests.test_keyframe import loop_sequence  # noqa: F401
+    import tests.test_keyframe as tk
+    from phovo_tpu.utils.synthetic import render_plane as _rp
+    from phovo_tpu.datasets.tum import RGBDFrame
+
+    frames = []
+    gts = []
+    for k, st in enumerate(tk._out_and_back_states()):
+        T = np.asarray(se3.pose_matrix(st))
+        I_m, D_m = _rp(tk.INTR, tk.SHAPE, T)
+        frames.append(
+            RGBDFrame(
+                timestamp=float(k), depth_timestamp=float(k),
+                intensity=(I_m * 255).astype(np.uint8), depth=D_m,
+            )
+        )
+        gts.append(np.linalg.inv(T))
+
+    graph_only = tk._make_kvo()
+    list(graph_only.run(frames))
+    t_graph = graph_only.finalize()
+
+    kvo = tk._make_kvo()
+    list(kvo.run(frames))
+    tracked = kvo.finalize(ba_iterations=4, ba_scope="global", ba_covis=3)
+
+    assert len(tracked) == len(t_graph)
+    for a, b in zip(tracked, t_graph):
+        assert np.all(np.isfinite(a.pose))
+        # global BA polish stays in the graph solution's neighborhood
+        np.testing.assert_allclose(
+            a.pose[:3, 3], b.pose[:3, 3], atol=0.02
+        )
