@@ -178,14 +178,24 @@ def main() -> int:
                 Ds = jnp.asarray(np.broadcast_to(seq_D, (S, T, H, W)).copy())
                 _, poses = serve(Is, Ds, intr)
                 jax.block_until_ready(poses)
+                # throughput: pipelined (async dispatch, one final sync) —
+                # the steady-state serving rate where dispatch k+1 is
+                # issued while k computes
+                t0 = time.perf_counter()
+                for _ in range(args.repeats):
+                    _, poses = serve(Is, Ds, intr)
+                jax.block_until_ready(poses)
+                dt = (time.perf_counter() - t0) / args.repeats
+                # latency: blocking per dispatch — what one chunk of one
+                # camera set actually waits start-to-result (includes the
+                # host<->device round trip a pipelined loop hides)
                 lat = []
                 for _ in range(args.repeats):
-                    t0 = time.perf_counter()
+                    t1 = time.perf_counter()
                     _, poses = serve(Is, Ds, intr)
                     jax.block_until_ready(poses)
-                    lat.append(time.perf_counter() - t0)
+                    lat.append(time.perf_counter() - t1)
                 lat = np.asarray(lat)
-                dt = float(lat.mean())
                 pairs = S * (T - 1)
                 print(json.dumps({
                     "mode": "serve_sweep", "semantics": semantics,
