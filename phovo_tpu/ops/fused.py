@@ -237,16 +237,47 @@ def pack_target(target_intensity, target_grad_x, target_grad_y):
     return jnp.stack([target_intensity, target_grad_x, target_grad_y, z], axis=-1)
 
 
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _pad_channel_rows(ch2d):
+    """Zero-pad a (H, W) channel to (ceil8(H), W).
+
+    The kernels' banded row window dynamic-slices each channel at a
+    sublane-aligned (multiple-of-8) start; padding the per-channel height
+    to a multiple of 8 lets the aligned start reach high enough to cover
+    the image's last H % 8 rows (an unpadded stack capped the start at
+    floor8(H - BAND), silently dropping those rows for bottom tiles at
+    levels like 60x80 — and Mosaic rejects unaligned starts outright at
+    128-lane widths). The padding rows are never sampled: the row weights
+    only reference real rows (r <= H - 1)."""
+    H = ch2d.shape[0]
+    HP = _ceil8(H)
+    if HP == H:
+        return ch2d
+    return jnp.pad(ch2d, ((0, HP - H), (0, 0)))
+
+
 def pack_target_colmajor(target_intensity, target_grad_x, target_grad_y):
-    """Channel-major (3H, W) stack of the target channels for the Pallas
-    kernel: rows [0,H) intensity, [H,2H) grad-x, [2H,3H) grad-y.
+    """Channel-major (3*ceil8(H), W) stack of the target channels for the
+    Pallas kernel: each channel zero-padded to a multiple-of-8 height
+    (see _pad_channel_rows), rows [0,HP) intensity, [HP,2HP) grad-x,
+    [2HP,3HP) grad-y.
 
     Stacking lets the kernel sample all three channels with ONE column-mix
     matmul of lhs height 3*BAND instead of three matmuls of height BAND —
     the MXU's M axis is 128 deep, so an M=32 band uses 25% of the array and
     an M=96 stack uses 75% for identical FLOPs (measured ~2x kernel-level
     speedup at the fine pyramid levels)."""
-    return jnp.concatenate([target_intensity, target_grad_x, target_grad_y], axis=0)
+    return jnp.concatenate(
+        [
+            _pad_channel_rows(target_intensity),
+            _pad_channel_rows(target_grad_x),
+            _pad_channel_rows(target_grad_y),
+        ],
+        axis=0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -392,8 +423,10 @@ def _linearize_gram(
     geom_ref is the (4, NP) hoisted source geometry from pack_geometry
     ([px, py, pz, valid_depth] — state-invariant, computed once per level).
 
-    t_all_ref is the channel-major target stack: (3H, W) photometric
-    [I1; gx; gy], or (6H, W) bi-objective [I1; gx; gy; D1; dgx; dgy].
+    t_all_ref is the channel-major target stack with per-channel stride
+    HP = ceil8(H): (3*HP, W) photometric [I1; gx; gy], or (6*HP, W)
+    bi-objective [I1; gx; gy; D1; dgx; dgy] (pack_target_colmajor /
+    _pad_channel_rows).
 
     With bi=True and a depth gain, adds the bi-objective depth channel
     (reference BiObjective backend,
@@ -401,6 +434,7 @@ def _linearize_gram(
     gain*(D1(warped) - tz) and Jacobian gain*(gradD . J_pix - J_rt_z),
     emitted as a 16x16 Gram with the intensity block in rows/cols 0..7 and
     the depth block in 8..15."""
+    HP = _ceil8(H)  # per-channel stack stride (see _pad_channel_rows)
     cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     cr, sr = jnp.cos(roll), jnp.sin(roll)
@@ -519,8 +553,18 @@ def _linearize_gram(
         BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
         if BAND < H:
             rmin = jnp.min(jnp.where(valid, r_lo, jnp.int32(H)))
-            band = jnp.clip(rmin, 0, H - BAND)
-            band = (band // 8) * 8  # sublane-aligned dynamic slice start
+            # The slice start must be sublane-aligned (Mosaic requires a
+            # provable multiple of 8 at 128-lane widths), and the clamp is
+            # against the PADDED channel height HP = ceil8(H)
+            # (_pad_channel_rows): clamping against an unpadded H made the
+            # aligned start cap out at floor8(H - BAND), so for H % 8 != 0
+            # levels (e.g. 60x80) the last H % 8 rows were UNREACHABLE for
+            # bottom tiles and every frame silently dropped them
+            # (320 px/frame at 60x80; caught when the band_fallback gate
+            # fired on zero-motion pairs). With HP both bounds are
+            # multiples of 8 and the window always reaches row H - 1.
+            band = jnp.clip(rmin, 0, HP - BAND)
+            band = (band // 8) * 8
             band = pl.multiple_of(band, 8)
             in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
             # observability (VERDICT r1): count pixels the band drops THIS
@@ -555,12 +599,12 @@ def _linearize_gram(
         CH = 6 if bi else 3
         if BAND < H:
             blocks = [
-                t_all_ref[pl.ds(t_row + ch * H + band, BAND), :]
+                t_all_ref[pl.ds(t_row + ch * HP + band, BAND), :]
                 for ch in range(CH)
             ]  # CH x (BAND, W)
         else:
             blocks = [
-                t_all_ref[t_row + ch * H:t_row + (ch + 1) * H, :]
+                t_all_ref[t_row + ch * HP:t_row + ch * HP + H, :]
                 for ch in range(CH)
             ]
         if mix_mode == "bf16x2g":
@@ -1222,7 +1266,9 @@ def fused_gn_level(
                 "depth channels would need separate adaptive scales); use "
                 "huber/cauchy/tukey for the bi-objective backend"
             )
-        t_all = jnp.concatenate([t_all] + list(depth_cols), axis=0)  # (6H, W)
+        t_all = jnp.concatenate(
+            [t_all] + [_pad_channel_rows(c) for c in depth_cols], axis=0
+        )  # (6*ceil8(H), W)
     kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
     extra = {} if bi else {
         "esm": source_grads is not None, "tdist_burnin": int(tdist_burnin),
@@ -1341,7 +1387,7 @@ def _fused_gn_multi_kernel(
             i0_ref, geom_ref, t_all_ref,
             H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
             robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
-            i0_row=s_idx, geom_row=s_idx * GR, t_row=s_idx * 3 * H,
+            i0_row=s_idx, geom_row=s_idx * GR, t_row=s_idx * 3 * _ceil8(H),
         )
 
     # carry layout: per stream 11 scalars
@@ -1417,7 +1463,7 @@ def multi_stream_vmem_bytes(S: int, H: int, W: int, esm: bool = False) -> int:
     inputs (the working set per tile is on top, ~2-3 MB)."""
     NP, _ = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
-    return 4 * S * (3 * H * W + GR * NP + NP)
+    return 4 * S * (3 * _ceil8(H) * W + GR * NP + NP)
 
 
 MULTI_VMEM_BUDGET = 11_000_000  # leave ~5 MB of the 16 MB for working set
@@ -1493,7 +1539,11 @@ def fused_gn_level_multi(
             ],
             axis=0,
         )  # (S*GR, NP)
-    t_all = jnp.asarray(tgt_cols).reshape(S * 3 * H, W)
+    HP = _ceil8(H)
+    t_all = jnp.asarray(tgt_cols).reshape(S, 3, H, W)
+    if HP != H:  # per-channel aligned stride (see _pad_channel_rows)
+        t_all = jnp.pad(t_all, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
+    t_all = t_all.reshape(S * 3 * HP, W)
     state_out, diag = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2

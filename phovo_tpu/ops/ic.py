@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from phovo_tpu.ops.camera import Intrinsics
 from phovo_tpu.ops.fused import (
+    _pad_channel_rows as _pad_rows8,
     _pad_flat, _pick_tile_pixels, mixed_col_dot, pack_geometry,
 )
 from phovo_tpu.ops.residuals import warp_and_jacobian
@@ -234,7 +235,11 @@ def _ic_gn_kernel(
             BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
             if BAND < H:
                 rmin = jnp.min(jnp.where(valid, r_lo, jnp.int32(H)))
-                band = jnp.clip(rmin, 0, H - BAND)
+                # aligned start clamped against the PADDED target height
+                # (ops/fused.py _pad_channel_rows rationale: clamping
+                # against unpadded H made the last H % 8 rows unreachable)
+                HP = -(-H // 8) * 8
+                band = jnp.clip(rmin, 0, HP - BAND)
                 band = (band // 8) * 8
                 band = pl.multiple_of(band, 8)
                 in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
@@ -258,7 +263,10 @@ def _ic_gn_kernel(
             else:
                 roww = jnp.where(iota_h == r_lo_loc, 1.0, 0.0)
 
-            block = t_i_ref[pl.ds(band, BAND), :] if BAND < H else t_i_ref[:]
+            block = (
+                t_i_ref[pl.ds(band, BAND), :] if BAND < H
+                else t_i_ref[0:H, :]
+            )
             # the shared sampling primitive keeps this kernel's numerics in
             # lockstep with ops/fused.py (see mixed_col_dot docstring)
             C = mixed_col_dot(block, colw, mix_mode, bilinear)
@@ -399,7 +407,7 @@ def ic_gn_level(
             jax.ShapeDtypeStruct((1, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(state, const, Lrow, geom, J8p, target_intensity)
+    )(state, const, Lrow, geom, J8p, _pad_rows8(target_intensity))
     Tn = jnp.eye(4, dtype=jnp.float32)
     Tn = Tn.at[:3, :3].set(state_out[0, :9].reshape(3, 3))
     Tn = Tn.at[:3, 3].set(state_out[0, 9:12])

@@ -520,3 +520,36 @@ def test_align_sequences_multi_matches_vmap_path(intr):
         np.asarray(poses_m[..., :3, 3]), np.asarray(poses_v[..., :3, 3]),
         atol=5e-3,
     )
+
+
+def test_band_window_covers_last_rows_at_unaligned_heights(intr):
+    """Regression (r3): at levels whose height is not a multiple of 8
+    (e.g. 60x80 in the VGA pyramid), the banded window's sublane-aligned
+    start used to cap out at floor8(H - BAND), making the image's last
+    H % 8 rows unreachable for bottom tiles — every frame silently dropped
+    them (band_masked ~ 320 at 60x80 with ZERO motion). The channel stack
+    is now padded to ceil8(H) per channel; zero motion must mask nothing
+    and keep every valid pixel."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from phovo_tpu.ops.camera import Intrinsics
+
+    for H, W in ((60, 80), (120, 160)):
+        intr_l = Intrinsics(
+            np.float32(80.0), np.float32(80.0),
+            np.float32((W - 1) / 2), np.float32((H - 1) / 2),
+        )
+        rng = np.random.default_rng(0)
+        I0 = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        D0 = jnp.asarray(np.full((H, W), 2.0, np.float32))
+        gx = I0 * 0.3
+        gy = I0 * -0.2
+        tgt = F.pack_target_colmajor(I0, gx, gy)
+        assert tgt.shape[0] == 3 * (-(-H // 8) * 8)
+        *_, nvalid, masked = F.fused_gn_level(
+            I0, D0, tgt, intr_l, jnp.zeros(6), 0.3, 5.0,
+            max_iterations=1, min_gradient_norm=1e-10, lambda_step=0.0,
+            sampling="nearest", interpret=True,
+        )
+        assert float(masked) == 0.0, (H, W, float(masked))
+        assert float(nvalid) == H * W, (H, W, float(nvalid))
