@@ -162,6 +162,57 @@ def rotation_to_quaternion(R: jax.Array) -> jax.Array:
     return jnp.where(q[..., 3:4] < 0, -q, q)
 
 
+def rotation_to_quaternion_np(R) -> "np.ndarray":
+    """Host-side float64 twin of rotation_to_quaternion (same candidate
+    selection and qw >= 0 convention).
+
+    Trajectory export/evaluation runs per pose on the host; routing each
+    pose through the jitted jnp version costs a device dispatch + blocking
+    fetch PER POSE — on a remote-attached chip the 1,200-pose map-scale
+    evaluation spent minutes in pure round trips (same class of bug as the
+    r2 pose-integration fix, se3.pose_matrix_np)."""
+    import numpy as np
+
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(v):
+        return np.sqrt(np.maximum(v, 1e-24))
+
+    s0 = safe_sqrt(tr + 1.0) * 2.0
+    q0 = np.stack([(m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0, 0.25 * s0], -1)
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = np.stack([0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1, (m21 - m12) / s1], -1)
+    s2 = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = np.stack([(m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2, (m02 - m20) / s2], -1)
+    s3 = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = np.stack([(m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3, (m10 - m01) / s3], -1)
+    cond_tr = (tr > 0.0)[..., None]
+    cond_1 = ((m00 > m11) & (m00 > m22))[..., None]
+    cond_2 = (m11 > m22)[..., None]
+    q = np.where(cond_tr, q0, np.where(cond_1, q1, np.where(cond_2, q2, q3)))
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.where(q[..., 3:4] < 0, -q, q)
+
+
+def quaternion_to_rotation_np(q) -> "np.ndarray":
+    """Host-side float64 twin of quaternion_to_rotation (see
+    rotation_to_quaternion_np for why the twins exist)."""
+    import numpy as np
+
+    q = np.asarray(q, np.float64)
+    qx, qy, qz, qw = np.moveaxis(q, -1, 0)
+    rows = [
+        [1 - 2 * (qy**2 + qz**2), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx**2 + qz**2), 2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx**2 + qy**2)],
+    ]
+    return np.stack([np.stack(r, axis=-1) for r in rows], axis=-2)
+
+
 def quaternion_to_rotation(q: jax.Array) -> jax.Array:
     """Unit quaternion [qx,qy,qz,qw] -> 3x3 rotation (batched)."""
     qx, qy, qz, qw = jnp.moveaxis(q, -1, 0)

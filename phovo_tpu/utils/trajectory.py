@@ -27,16 +27,21 @@ class Trajectory(NamedTuple):
         return len(self.timestamps)
 
     def pose_matrix(self, i: int) -> np.ndarray:
+        # numpy twin: evaluators call this per pose in host loops — the
+        # jnp version costs a device dispatch + blocking fetch per call
+        # (minutes of pure RTT evaluating a 1,200-pose trajectory on a
+        # remote-attached chip)
         T = np.eye(4)
-        T[:3, :3] = np.asarray(se3.quaternion_to_rotation(self.quaternions[i]))
+        T[:3, :3] = se3.quaternion_to_rotation_np(self.quaternions[i])
         T[:3, 3] = self.positions[i]
         return T
 
 
 def format_pose_line(timestamp: float, T: np.ndarray) -> str:
     """One TUM trajectory line from a 4x4 pose (16-significant-digit
-    timestamps like the reference's setprecision(digits10+1))."""
-    q = np.asarray(se3.rotation_to_quaternion(np.asarray(T[:3, :3], dtype=np.float64)))
+    timestamps like the reference's setprecision(digits10+1)); host-side
+    numpy (the writer runs per frame — see Trajectory.pose_matrix)."""
+    q = se3.rotation_to_quaternion_np(np.asarray(T[:3, :3], dtype=np.float64))
     t = T[:3, 3]
     return (
         f"{timestamp:.16g} {t[0]:.9g} {t[1]:.9g} {t[2]:.9g} "

@@ -118,3 +118,19 @@ def test_numpy_twins_match_jax():
         se3.pose_matrix_np(STATES[0]),
         np.asarray(se3.pose_matrix(STATES[0])), atol=1e-6,
     )
+
+
+def test_quaternion_numpy_twins_match_jax():
+    """The host-side f64 quaternion twins (rotation_to_quaternion_np /
+    quaternion_to_rotation_np — per-pose trajectory IO must not dispatch
+    to the device) must match the jitted versions."""
+    rng = np.random.default_rng(11)
+    states = rng.uniform(-1.0, 1.0, (16, 6))
+    R = np.asarray(se3.pose_matrix(jnp.asarray(states)))[..., :3, :3]
+    q_np = se3.rotation_to_quaternion_np(R)
+    q_jax = np.asarray(se3.rotation_to_quaternion(jnp.asarray(R)))
+    np.testing.assert_allclose(q_np, q_jax, atol=1e-6)
+    R_np = se3.quaternion_to_rotation_np(q_np)
+    R_jax = np.asarray(se3.quaternion_to_rotation(jnp.asarray(q_np)))
+    np.testing.assert_allclose(R_np, R_jax, atol=1e-6)
+    np.testing.assert_allclose(R_np, R, atol=1e-6)
