@@ -129,6 +129,7 @@ def run_pipeline(args, pg_solver: str, out: str) -> dict:
         "--loader", "raw", "--mode", "keyframe",
         "--chunk", str(args.chunk), "--pg-solver", pg_solver,
         "--ba-iterations", str(args.ba),
+        "--ba-scope", args.ba_scope, "--ba-covis", str(args.ba_covis),
         "--eval-gt", str(ROOT / "groundtruth.txt"),
         "--output", out, "-q",
     ]
@@ -170,6 +171,9 @@ def main() -> int:
     ap.add_argument("--laps", type=float, default=2.5)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--ba", type=int, default=3)
+    ap.add_argument("--ba-scope", default="window",
+                    choices=["window", "global"])
+    ap.add_argument("--ba-covis", type=int, default=6)
     ap.add_argument("--cross-check", action="store_true",
                     help="also run --pg-solver dense and compare")
     ap.add_argument("--out", default="artifacts/mapscale.json")
