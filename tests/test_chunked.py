@@ -122,3 +122,52 @@ def test_chunk_carry_accepts_uint8():
         np.asarray(res_u8.state[0]), np.asarray(res_f.state[0]), atol=2e-3
     )
     assert np.abs(np.asarray(res_u8.state[0]) - np.asarray(gt)).max() < 0.05
+
+
+def test_chunked_band_fallback_reruns_flagged_pairs(
+    tum_dir, tmp_path, monkeypatch, capsys
+):
+    """Frame-chunked band fallback (apps/phovo_vo.py resolve_states): when
+    the chunk diagnostics report band masking above --band-fallback, the
+    flagged pairs re-align on the exact full-band path — on this CPU run
+    (full-band already) the re-run must reproduce the unflagged trajectory
+    while the fallback accounting reports the engagements."""
+    import phovo_tpu.models.base as base_mod
+    from phovo_tpu.apps.phovo_vo import main
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "num_levels: 2\nmax_iterations: [8, 8]\n"
+        "min_gradient_norms: [1.0e-9, 1.0e-9]\nsampling: bilinear\n"
+    )
+    common = ["--config", str(cfg), "--dataset", str(tum_dir),
+              "--intrinsics", "128,128,63.5,47.5", "--quiet", "--chunk", "2"]
+    ref_out = tmp_path / "ref.txt"
+    assert main(common + ["--output", str(ref_out)]) == 0
+
+    calls = []
+    real = base_mod.band_masked_fractions
+
+    def fake_fractions(bm, nv):
+        out = np.asarray(real(bm, nv))
+        out = np.array(out)
+        if not calls:  # flag the first chunk's first pair exactly once
+            out[0] = 0.5
+        calls.append(out.shape)
+        return out
+
+    monkeypatch.setattr(base_mod, "band_masked_fractions", fake_fractions)
+    fb_out = tmp_path / "fb.txt"
+    loud = [a for a in common if a != "--quiet"]
+    capsys.readouterr()
+    assert main(loud + ["--output", str(fb_out),
+                        "--band-fallback", "0.02"]) == 0
+    assert calls  # the gate actually ran
+    out = capsys.readouterr().out
+    assert "band fallback: 1 pair(s)" in out, out[-400:]
+    a = read_trajectory(ref_out)
+    b = read_trajectory(fb_out)
+    assert len(a) == len(b)
+    # CPU path is full-band already, so the re-aligned pair must land on
+    # the same pose (same init, same exact linearization)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
