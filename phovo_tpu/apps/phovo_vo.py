@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ba-covis", type=int, default=6,
                    help="global BA: observations per landmark (nearest "
                         "keyframes by camera center)")
+    p.add_argument("--export-map", default=None,
+                   help="keyframe mode with --ba-iterations > 0: write the "
+                        "BA-refined sparse landmark map as an ASCII PLY "
+                        "point cloud (grayscale vertex colors from the "
+                        "landmarks' host intensities)")
     p.add_argument("--ba-grid", type=int, default=8,
                    help="landmarks per keyframe = grid*grid (one per cell "
                         "at the cell's highest-gradient valid-depth pixel)")
@@ -706,6 +711,21 @@ def _run_keyframe_mode(args, vo, seq) -> int:
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:
             out.write(tf.timestamp, tf.pose)
+    if args.export_map:
+        if kvo.map_points is None:
+            print(
+                "note: --export-map needs --ba-iterations > 0 (the map "
+                "landmarks come from the photometric BA); no map written",
+                file=sys.stderr,
+            )
+        else:
+            from phovo_tpu.utils.viz import save_ply
+
+            save_ply(args.export_map, kvo.map_points, kvo.map_intensity)
+            print(
+                f"wrote {len(kvo.map_points)} map landmarks to "
+                f"{args.export_map}"
+            )
     # one-line run summary, printed even under -q (the driver-facing
     # record of what the back-end actually built)
     print(

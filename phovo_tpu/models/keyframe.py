@@ -122,6 +122,11 @@ class KeyframeVisualOdometry:
 
         self.keyframes: list[Keyframe] = []
         self.tracked: list[TrackedFrame] = []
+        # BA-refined sparse map: (N, 3) world landmarks + (N,) intensities,
+        # populated by finalize(ba_iterations>0) (all windows' landmarks in
+        # window scope; the joint problem's in global scope)
+        self.map_points: np.ndarray | None = None
+        self.map_intensity: np.ndarray | None = None
         self.odometry_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, T_i^-1 T_j)
         self.loop_closures: list[LoopClosure] = []
         # in-flight batched closure alignments: (new_kf_index,
@@ -743,6 +748,7 @@ class KeyframeVisualOdometry:
             starts = [0]
         if starts[-1] + window < M:
             starts.append(M - window)
+        map_pts, map_int = [], []
         for start in starts:
             stop = start + window
             kfs = self.keyframes[start:stop]
@@ -754,7 +760,7 @@ class KeyframeVisualOdometry:
                 np.stack([k.pose for k in kfs])
             ).astype(np.float32)
             problem = build_photometric_window(I, D, states, intr, grid=grid)
-            refined, _, _ = optimize_photometric_bundle(
+            refined, points, _ = optimize_photometric_bundle(
                 problem, intr, mesh=mesh, iterations=iterations,
                 damping=damping, fixed_first=True,
                 robust_delta=robust_delta, schur="auto",
@@ -762,6 +768,13 @@ class KeyframeVisualOdometry:
             refined = np.asarray(refined, np.float64)
             for k, kf in enumerate(kfs):
                 kf.pose = se3.pose_matrix_np(refined[k])
+            pts = np.asarray(points, np.float64)
+            ref_i = np.asarray(problem.ref_intensity)
+            keep = np.linalg.norm(pts, axis=1) > 1e-9  # zero rows = padding
+            map_pts.append(pts[keep])
+            map_int.append(ref_i[keep])
+        self.map_points = np.concatenate(map_pts) if map_pts else None
+        self.map_intensity = np.concatenate(map_int) if map_int else None
 
     def _refine_photometric_global(
         self, mesh, iterations: int, grid: int, damping: float,
@@ -799,7 +812,7 @@ class KeyframeVisualOdometry:
             states, intr, grid=grid, max_covis=covis,
             device_intensities=dev_I, device_depths=dev_D,
         )
-        refined, _, _ = optimize_photometric_bundle(
+        refined, points, _ = optimize_photometric_bundle(
             problem, intr, mesh=mesh, iterations=iterations,
             damping=damping, fixed_first=True,
             robust_delta=robust_delta, schur="auto",
@@ -807,3 +820,8 @@ class KeyframeVisualOdometry:
         refined = np.asarray(jax.device_get(refined), np.float64)
         for k, kf in enumerate(kfs):
             kf.pose = se3.pose_matrix_np(refined[k])
+        pts = np.asarray(jax.device_get(points), np.float64)
+        ref_i = np.asarray(jax.device_get(problem.ref_intensity))
+        keep = np.linalg.norm(pts, axis=1) > 1e-9  # zero rows = padding
+        self.map_points = pts[keep]
+        self.map_intensity = ref_i[keep]

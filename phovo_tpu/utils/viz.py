@@ -75,3 +75,42 @@ def side_by_side(*images: np.ndarray, pad: int = 4) -> np.ndarray:
             cols.append(sep)
         cols.append(im)
     return np.concatenate(cols, axis=1)
+
+
+def save_ply(path, points, intensity=None) -> None:
+    """Write a sparse landmark map as an ASCII PLY point cloud.
+
+    points (N, 3) world coordinates; intensity (N,) in 0..1 rendered as a
+    grayscale vertex color (standard viewers: meshlab/CloudCompare/open3d).
+    The reference has no map output at all (its only persistent artifact is
+    the trajectory file, PhotoconsistencyVisualOdometry.cpp:240-243); the
+    keyframe back-end's BA landmarks make a map export natural."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    n = len(pts)
+    if intensity is not None:
+        g = np.clip(np.asarray(intensity, np.float64).reshape(-1), 0.0, 1.0)
+        g = (g * 255.0 + 0.5).astype(np.uint8)
+    lines = [
+        "ply",
+        "format ascii 1.0",
+        f"element vertex {n}",
+        "property float x",
+        "property float y",
+        "property float z",
+    ]
+    if intensity is not None:
+        lines += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+        ]
+    lines.append("end_header")
+    for k in range(n):
+        row = f"{pts[k, 0]:.6f} {pts[k, 1]:.6f} {pts[k, 2]:.6f}"
+        if intensity is not None:
+            row += f" {g[k]} {g[k]} {g[k]}"
+        lines.append(row)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

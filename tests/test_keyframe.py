@@ -354,3 +354,33 @@ def test_finalize_pg_solver_cg_matches_dense(loop_sequence):
     assert len(cg.loop_closures) == len(dense.loop_closures)
     for a, b in zip(t_cg, t_dense):
         np.testing.assert_allclose(a.pose, b.pose, atol=2e-4)
+
+
+def test_finalize_exports_ba_landmark_map(loop_sequence, tmp_path):
+    """finalize(ba_iterations>0) must populate the BA-refined landmark map
+    (both scopes), and the landmarks must lie on the synthetic scene's
+    plane (n.p = d — an exact geometric oracle); save_ply writes a valid
+    ASCII PLY of them."""
+    from phovo_tpu.utils.viz import save_ply
+
+    frames, _ = loop_sequence
+    for scope in ("window", "global"):
+        kvo = _make_kvo()
+        list(kvo.run(frames))
+        kvo.finalize(ba_iterations=2, ba_scope=scope, ba_covis=3)
+        assert kvo.map_points is not None and len(kvo.map_points) > 20, scope
+        assert len(kvo.map_intensity) == len(kvo.map_points)
+        n = np.array([0.06, -0.04, 1.0])
+        d = np.abs(kvo.map_points @ n - 2.0) / np.linalg.norm(n)
+        # plane-distance oracle: median landmark within ~2 cm of the
+        # true surface (render_plane plane_normal/plane_d defaults)
+        assert float(np.median(d)) < 0.02, (scope, float(np.median(d)))
+
+    ply = tmp_path / "map.ply"
+    save_ply(ply, kvo.map_points, kvo.map_intensity)
+    txt = ply.read_text().splitlines()
+    assert txt[0] == "ply" and "end_header" in txt
+    n_hdr = int([l for l in txt if l.startswith("element vertex")][0].split()[-1])
+    assert n_hdr == len(kvo.map_points)
+    body = txt[txt.index("end_header") + 1:]
+    assert len(body) == n_hdr and len(body[0].split()) == 6
