@@ -505,10 +505,11 @@ def _run_chunked(args, cfg, intr, seq, band_fallback=0.0) -> int:
             "linearizer" if args.backend in ("ceres", "autodiff") else True
         )
 
-        # full-band retry for the band_fallback observability gate: one
-        # single-pair alignment with use_fused=False (models/base.py
-        # band_masked_fraction rationale)
-        def _full_band(si, sd, ti, td, init):
+        # single-pair retry for the band_fallback observability gate:
+        # use_fused=False is the exact full-band path for flagged pairs,
+        # use_fused=True re-aligns a downstream pair from a corrected
+        # warm-start init (models/base.py band_masked_fraction rationale)
+        def _single(si, sd, ti, td, init, use_fused):
             from phovo_tpu.models.analytic import align_analytic
             from phovo_tpu.models.autodiff import align_autodiff
             from phovo_tpu.models.biobjective import align_biobjective
@@ -516,33 +517,49 @@ def _run_chunked(args, cfg, intr, seq, band_fallback=0.0) -> int:
 
             a = (si, sd, ti, td, intr, init, cfg)
             if args.backend in ("ceres", "autodiff"):
-                return align_autodiff(*a, "linearizer", use_fused=False)
+                return align_autodiff(*a, "linearizer", use_fused=use_fused)
             fn = {
                 "analytic": align_analytic,
                 "ic": align_ic,
                 "biobjective": align_biobjective,
             }[args.backend]
-            return fn(*a, use_fused=False)
+            return fn(*a, use_fused=use_fused)
 
         n_fallbacks = 0
 
         def resolve_states(res, m, host_frames):
             """Fetch the chunk's states, re-running band-masked pairs on
-            the exact full-band path (models/base.py band_fallback)."""
+            the exact full-band path (models/base.py band_fallback).
+
+            Under --warm-start the in-chunk scan seeded pair k+1 from pair
+            k's PRE-fallback state, so a corrected state must propagate:
+            every pair after the first flagged one is re-aligned from the
+            corrected previous state (full-band when itself flagged — by
+            the chunk diagnostics or by its own re-run — fused otherwise)."""
             nonlocal n_fallbacks
             states = np_.asarray(res.state[:m])
             if band_fallback <= 0:
                 return states
-            from phovo_tpu.models.base import band_masked_fractions
+            from phovo_tpu.models.base import (
+                band_masked_fraction,
+                band_masked_fractions,
+            )
 
             fracs = band_masked_fractions(
                 np_.asarray(res.band_masked[:m]),
                 np_.asarray(res.num_valid[:m]),
             )
+            flagged = np_.nonzero(fracs > band_fallback)[0]
+            if len(flagged) == 0:
+                return states
             (ci, cd), Ii, Dd = host_frames
             states = np_.array(states)
-            for k in np_.nonzero(fracs > band_fallback)[0]:
-                k = int(k)
+            flagged_set = {int(k) for k in flagged}
+            rerun = (
+                range(int(flagged[0]), m) if args.warm_start
+                else [int(k) for k in flagged]
+            )
+            for k in rerun:
                 si, sd = (ci, cd) if k == 0 else (Ii[k - 1], Dd[k - 1])
                 ti, td = Ii[k], Dd[k]
                 if sd.dtype == np_.uint16:
@@ -554,13 +571,23 @@ def _run_chunked(args, cfg, intr, seq, band_fallback=0.0) -> int:
                     if (args.warm_start and k > 0)
                     else np_.zeros(6, np_.float32)
                 )
-                rb = _full_band(
+                dev = (
                     jnp.asarray(si), jnp.asarray(sd, jnp.float32),
                     jnp.asarray(ti), jnp.asarray(td, jnp.float32),
                     jnp.asarray(init),
                 )
+                if k in flagged_set:
+                    rb = _single(*dev, use_fused=False)
+                    n_fallbacks += 1
+                else:
+                    rb = _single(*dev, use_fused=True)
+                    if band_masked_fraction(
+                        np_.asarray(rb.band_masked),
+                        np_.asarray(rb.num_valid),
+                    ) > band_fallback:
+                        rb = _single(*dev, use_fused=False)
+                        n_fallbacks += 1
                 states[k] = np_.asarray(rb.state)
-                n_fallbacks += 1
             return states
         host_carry = (I0[0], D0[0])  # storage-dtype twin of the device carry
         try:
