@@ -64,9 +64,13 @@ CASES = [
     # QVGA tight pin (r3: measured fw-vs-oracle 3.4e-6 / 1.8e-4)
     ((240, 320), "smooth", "config_4_level_optimization_analytic", "analytic", 5e-5),
     ((240, 320), "smooth", "config_4_level_optimization_analytic", "biobjective", 6e-4),
-    # rotation-dominant QVGA (r3: measured 3.3e-3 / 5.3e-3)
-    ((240, 320), "rotation", "config_4_level_optimization_analytic", "analytic", 1e-2),
-    ((240, 320), "rotation", "config_4_level_optimization_analytic", "biobjective", 1.6e-2),
+    # rotation-dominant QVGA, all three backends (r4 re-measure: analytic
+    # 3.33e-3, biobjective 5.33e-3, autodiff 3.00e-3 — deterministic CPU
+    # runs; bounds sized so a ~2 mm rotation-coupled regression FAILS,
+    # VERDICT r3 item 7)
+    ((240, 320), "rotation", "config_4_level_optimization_analytic", "analytic", 5e-3),
+    ((240, 320), "rotation", "config_4_level_optimization_analytic", "biobjective", 7.5e-3),
+    ((240, 320), "rotation", "config_3_level_optimization_ceres", "autodiff", 5e-3),
 ]
 
 
