@@ -78,10 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ba-grid", type=int, default=8,
                    help="landmarks per keyframe = grid*grid (one per cell "
                         "at the cell's highest-gradient valid-depth pixel)")
-    p.add_argument("--ba-robust-delta", type=float, default=None,
+    p.add_argument("--ba-robust-delta", type=float, default=0.1,
                    help="keyframe mode: Huber IRLS delta for the photometric "
-                        "BA refinement (caps outlier observations; omit for "
-                        "a quadratic cost)")
+                        "BA refinement (caps occluded/edge-contaminated "
+                        "observations, which otherwise dominate the "
+                        "quadratic cost and corrupt poses; 0 disables)")
     p.add_argument("--pg-solver", default="auto",
                    choices=["auto", "dense", "cg"],
                    help="keyframe mode: pose-graph solver — dense block "

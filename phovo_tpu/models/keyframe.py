@@ -669,7 +669,7 @@ class KeyframeVisualOdometry:
         ba_window: int = 8,
         ba_grid: int = 8,
         ba_damping: float = 1e-4,
-        ba_robust_delta: float | None = None,
+        ba_robust_delta: float | None = 0.1,
         ba_scope: str = "window",
         ba_covis: int = 6,
     ) -> list[TrackedFrame]:
@@ -691,10 +691,20 @@ class KeyframeVisualOdometry:
             scale the auto Schur router flips to the sparse segment-sum
             path (dense W would not fit), gauge anchored on keyframe 0.
 
+        ba_robust_delta defaults to Huber IRLS at 0.1 (weighted residual
+        norm units): the r4 room-scene ablation (tools/ba_ablation.py)
+        showed QUADRATIC photometric BA is actively harmful on scenes with
+        occlusion/depth discontinuities (room forward ATE 0.023 pg-only ->
+        0.042 at 6 quadratic BA iterations, -> 0.0055 with Huber 0.1 —
+        occluded/edge-contaminated observations dominate the unrobust
+        cost). 0/None selects the quadratic cost.
+
         Returns the tracked frames with `pose` updated in place.
         """
         if ba_scope not in ("window", "global"):
             raise ValueError(f"ba_scope={ba_scope!r}")
+        if not ba_robust_delta:
+            ba_robust_delta = None
         if len(self.keyframes) >= 2:
             graph = self.build_pose_graph()
             # bucket=True: graph sizes vary run to run; bucketed shapes

@@ -302,3 +302,29 @@ def test_global_ba_through_keyframe_pipeline():
         np.testing.assert_allclose(
             a.pose[:3, 3], b.pose[:3, 3], atol=0.02
         )
+
+
+def test_ba_improves_ate_on_room_scene():
+    """VERDICT r3 item 1: photometric BA must EARN its keep — on the
+    geometrically rich room fixture (utils/synthetic.render_room: 5
+    non-parallel surfaces + 2 slabs at varied depths) the default
+    windowed BA (Huber 0.1) must materially beat the pose-graph-only
+    trajectory on ATE. Measured (tools/ba_ablation.py, 96x128 / 48
+    frames): pg-only 0.021 m, BA(3) 0.0065 m — bound at 0.6x leaves 2x
+    margin. The quadratic-cost regression this pins: unrobust BA on the
+    same fixture WORSENS ATE (0.023 -> 0.042 at 6 iterations)."""
+    from tools.ba_ablation import sweep, track_scene
+
+    H, W = 96, 128
+    fx = 525.0 * W / 640.0
+    intr = Intrinsics(
+        np.float32(fx), np.float32(fx),
+        np.float32((W - 1) / 2), np.float32((H - 1) / 2),
+    )
+    kvo, gts = track_scene("room", "forward", intr, (H, W), 48, 1.0)
+    res = sweep(
+        kvo, gts,
+        [("pg", dict(ba_iterations=0)), ("ba3", dict(ba_iterations=3))],
+    )
+    assert res["pg"] < 0.05, res
+    assert res["ba3"] < 0.6 * res["pg"], res
