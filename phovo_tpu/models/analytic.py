@@ -191,6 +191,170 @@ def align_analytic(
     )
 
 
+def prepped_sequence_eligible(
+    config: PhovoConfig, shape, use_fused: bool
+) -> bool:
+    """True when every ACTIVE level of `config` at frame `shape` runs the
+    whole-level Pallas kernel — the precondition for the prepped sequence
+    scan (per-frame packs computed once, batched, outside the serial
+    chain)."""
+    if not (
+        use_fused
+        and fused_ops._HAS_PALLAS
+        and jax.default_backend() == "tpu"
+        and config.gradient_at in ("warped", "esm")
+    ):
+        return False
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        if pyr.level_shape(tuple(shape), level)[0] > fused_ops.FUSED_MAX_H:
+            return False
+    return True
+
+
+def prep_frame_analytic(
+    intensity: jax.Array,  # (H, W) float32 0..1
+    depth: jax.Array,  # (H, W) float32 meters
+    intr: Intrinsics,
+    config: PhovoConfig,
+) -> dict:
+    """Per-frame products for the prepped sequence scan: for every ACTIVE
+    pyramid level, (i0_flat (1, NP), geom (4|6, NP), t_all (3*HP, W)).
+
+    In a frame chain every frame is the TARGET of pair k-1 and the SOURCE
+    of pair k; the per-pair align path therefore built each frame's
+    pyramids twice, serially, inside the scan. This prep runs once per
+    frame and vmaps over the whole chunk (one batched resize/Scharr/pack
+    pass instead of B serial small ones — the XLA glue between the level
+    kernels was ~20% of the headline frame time)."""
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    int_p = pyr.build_pyramid(intensity, L, blur, blur_type=config.blur_type)
+    dep_p = pyr.build_pyramid(depth, L, None)
+    gx, gy = pyr.build_gradient_pyramid(int_p, tuple(config.gradient_scales))
+    esm = config.gradient_at == "esm"
+    out = {}
+    for level in range(L):
+        if config.max_iterations[level] <= 0:
+            continue
+        H, W = int_p[level].shape
+        NP, _ = fused_ops._pick_tile_pixels(H, W)
+        i0f = fused_ops._pad_flat(int_p[level].reshape(1, H * W), NP)
+        geom = fused_ops.pack_geometry(
+            dep_p[level], intr.at_level(level), config.min_depth,
+            config.max_depth, NP,
+            (gx[level], gy[level]) if esm else None,
+        )
+        t_all = fused_ops.pack_target_colmajor(
+            int_p[level], gx[level], gy[level]
+        )
+        out[level] = (i0f, geom, t_all)
+    return out
+
+
+def align_prepped(
+    src: dict,
+    tgt: dict,
+    shape: tuple[int, int],
+    intr: Intrinsics,
+    init_state: jax.Array,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """Coarse-to-fine alignment from prepped per-frame packs (the pallas
+    whole-level path at every active level; see prep_frame_analytic).
+    Produces results identical to align_analytic(use_fused=True) — same
+    kernels, same packs, only computed once per frame instead of per
+    pair."""
+    from phovo_tpu.solvers.gauss_newton import GNLevelResult
+
+    H0, W0 = shape
+    L = config.num_levels
+    esm = config.gradient_at == "esm"
+    tdist = config.robust_loss == "tdist"
+    if tdist:
+        from phovo_tpu.ops.robust import TDIST_BURNIN, tdist_scale_update
+
+        sigma = jnp.float32(config.robust_delta)
+        first_active = True
+    state = jnp.asarray(init_state, jnp.float32)
+    diags = [None] * L
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            zero = jnp.float32(0.0)
+            diags[level] = GNLevelResult(state, jnp.int32(0), zero, zero, zero)
+            continue
+        H, W = pyr.level_shape((H0, W0), level)
+        i0f, geom, _ = src[level]
+        _, _, t_all = tgt[level]
+        burnin = (
+            TDIST_BURNIN if (tdist and first_active) else 0
+        )
+        st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level_packs(
+            i0f, geom, t_all, intr.at_level(level), state,
+            config.min_depth, config.max_depth,
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            H=H, W=W, sampling=config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta, esm=esm,
+            robust_scale=sigma if tdist else None,
+            tdist_burnin=burnin,
+        )
+        state = st
+        diags[level] = GNLevelResult(st, its, gnorm, cost, nvalid, masked)
+        if tdist:
+            sigma = tdist_scale_update(cost, nvalid)
+            first_active = False
+    return AlignmentResult(
+        state=state,
+        iterations=jnp.stack([d.iterations for d in diags]),
+        gradient_norm=jnp.stack([d.gradient_norm for d in diags]),
+        cost=jnp.stack([d.cost for d in diags]),
+        num_valid=jnp.stack([d.num_valid for d in diags]),
+        band_masked=jnp.stack(
+            [jnp.asarray(d.band_masked, jnp.float32) for d in diags]
+        ),
+    )
+
+
+def align_sequence_prepped(
+    intensities: jax.Array,  # (B, H, W) float32 0..1 (or uint8)
+    depths: jax.Array,  # (B, H, W) float32
+    intr: Intrinsics,
+    config: PhovoConfig,
+    warm_start: bool = False,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """align_sequence with the per-frame prep batched OUT of the serial
+    chain: one vmapped pyramid/Scharr/pack pass for all B frames, then a
+    scan whose carry holds the previous frame's packs (each frame's prep
+    is computed exactly once and consumed exactly once)."""
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    prep = jax.vmap(
+        lambda i, d: prep_frame_analytic(i, d, intr, config)
+    )(intensities, depths)
+    first = jax.tree.map(lambda a: a[0], prep)
+    rest = jax.tree.map(lambda a: a[1:], prep)
+
+    def step(carry, tgt_prep):
+        prev_prep, state_c = carry
+        init = state_c if warm_start else jnp.zeros(6, jnp.float32)
+        res = align_prepped(
+            prev_prep, tgt_prep, shape, intr, init, config,
+            interpret=interpret,
+        )
+        return (tgt_prep, res.state), res
+
+    _, results = jax.lax.scan(
+        step, (first, jnp.zeros(6, jnp.float32)), rest
+    )
+    return results
+
+
 @functools.partial(jax.jit, static_argnames=("config", "use_fused", "warm_start"))
 def align_sequence(
     intensities: jax.Array,  # (B, H, W) consecutive frames
@@ -210,7 +374,17 @@ def align_sequence(
     Returns batched AlignmentResult with leading dim B-1 (pair k aligns
     frame k -> k+1). warm_start initializes each pair from the previous
     relative state (the reference always starts from zero, …cpp:224).
+
+    When every active level takes the whole-level Pallas kernel, the
+    per-frame prep (pyramids, Scharr, packs) is batched OUT of the serial
+    chain (align_sequence_prepped) — identical kernels and results, one
+    prep per frame instead of two (each frame is both a pair's target and
+    the next pair's source).
     """
+    if prepped_sequence_eligible(config, intensities.shape[1:], use_fused):
+        return align_sequence_prepped(
+            intensities, depths, intr, config, warm_start
+        )
     return sequence_scan(
         lambda si, sd, ti, td, init: align_analytic(
             si, sd, ti, td, intr, init, config, use_fused

@@ -77,6 +77,15 @@ except Exception:  # pragma: no cover
 # selects the exact XLA path if needed.
 FUSED_MAX_H = 512
 
+# Banded-window height (target rows contracted per tile). 32 is the
+# shipped default; PHOVO_FUSED_BAND=16 halves the row-mix mask/reduce work
+# at the cost of tighter motion margin (tile_rows*2 <= BAND still holds —
+# the tile picker shrinks NT accordingly) — experimental knob for
+# tools/kernel_ablate.py style measurements.
+import os as _os
+
+BAND_TARGET = int(_os.environ.get("PHOVO_FUSED_BAND", "32"))
+
 
 def mixed_col_dot(block, colw, mix_mode: str, bilinear: bool):
     """dot(block (M, W) f32, colw (W, N) one/two-hot f32) -> (M, N) f32 at
@@ -366,8 +375,8 @@ def _pick_tile_pixels(H: int, W: int, budget_bytes: int = 8_000_000):
     # ~40 (8, NT)-padded per-pixel rows; Mosaic's allocator keeps roughly 2x
     # this live (double buffering + temporaries), hence the conservative
     # budget (validated against the 16 MB scoped-vmem limit).
-    per_px = (W + 9 * 32 + 8 * 40) * 4
-    max_banded_nt = (32 // 2) * W  # tile_rows*2 <= 32
+    per_px = (W + 9 * BAND_TARGET + 8 * 40) * 4
+    max_banded_nt = (BAND_TARGET // 2) * W  # tile_rows*2 <= BAND
     base = -(-N // 128) * 128
 
     best = None  # (score tuple, N_pad, NT)
@@ -413,7 +422,7 @@ def _linearize_gram(
     i0_ref, geom_ref, t_all_ref,
     bi=False, gain=None, *, H, W, NT, NP, bilinear, mix_mode="f32",
     robust_loss="none", robust_delta=0.1, esm=False,
-    i0_row=0, geom_row=0, t_row=0,
+    i0_row=0, geom_row=0, t_row=0, _ablate=None,
 ):
     """Full-level linearization as a function of the 6 state scalars:
     internal fori_loop over NT-pixel sub-tiles, each computing geometry +
@@ -501,6 +510,13 @@ def _linearize_gram(
         Jv3 = b1 * ry1
         Jv4 = b1 * rp1 + b2 * rp2
         Jv5 = b1 * rr1 + b2 * rr2
+        if _ablate == "const_jac":
+            # measurement hook: zero out the rotation-column/projection
+            # Jacobian chain (the ry/rp/rr and Ju/Jv builds above still
+            # execute; this kills only their downstream use — use with
+            # const_geom for the full geometry cost; results invalid)
+            Ju3 = Ju4 = Ju5 = a0
+            Jv3 = Jv4 = Jv5 = b1
 
         # --- sampling weights (nearest: one-hot at round; bilinear: two-hot;
         # mode chosen at kernel specialization) ---
@@ -536,6 +552,12 @@ def _linearize_gram(
             # needs no (W, NT) cast (one-hot values are bf16-exact)
             colw_dtype = jnp.float32 if mix_mode == "f32" else jnp.bfloat16
             colw = (iota_w == c_lo).astype(colw_dtype)
+        if _ablate == "const_colw":
+            # measurement hook (tools/kernel_ablate.py): replace the mask
+            # BUILD with a state-independent constant of the same shape —
+            # isolates the (W, NT) compare/select cost (results invalid)
+            colw_dtype = jnp.float32 if mix_mode == "f32" else jnp.bfloat16
+            colw = (iota_w == 0).astype(colw_dtype)
 
         r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
         r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32) if bilinear else r_lo
@@ -550,7 +572,9 @@ def _linearize_gram(
         # extreme rotation at fine levels) are masked invalid for this
         # iteration — the coarse levels (full-band) absorb such motion first.
         tile_rows = max(1, NT // W)
-        BAND = 32 if (H > 48 and tile_rows * 2 <= 32) else H
+        BAND = (
+            BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
+        )
         if BAND < H:
             rmin = jnp.min(jnp.where(valid, r_lo, jnp.int32(H)))
             # The slice start must be sublane-aligned (Mosaic requires a
@@ -607,18 +631,29 @@ def _linearize_gram(
                 t_all_ref[t_row + ch * HP:t_row + ch * HP + H, :]
                 for ch in range(CH)
             ]
-        if mix_mode == "bf16x2g":
-            C_ch = _split_sample(
-                blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
-            )
+        if _ablate == "const_samples":
+            # measurement hook: skip the sampling dots + row reduce entirely
+            # (state-independent constant samples; results invalid) —
+            # isolates dot + row-mix cost
+            samples = [pz * jnp.float32(0.1 * (ch + 1)) for ch in range(CH)]
         else:
-            C = mixed_col_dot(
-                jnp.concatenate(blocks, axis=0), colw, mix_mode, bilinear
-            )  # (CH*BAND, NT)
-            C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
-        samples = [
-            jnp.sum(c * roww, axis=0, keepdims=True) for c in C_ch
-        ]
+            if mix_mode == "bf16x2g":
+                C_ch = _split_sample(
+                    blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
+                )
+            else:
+                C = mixed_col_dot(
+                    jnp.concatenate(blocks, axis=0), colw, mix_mode, bilinear
+                )  # (CH*BAND, NT)
+                C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
+            if _ablate == "const_rowmix":
+                # measurement hook: keep the col dot, replace the row-mix
+                # multiply+reduce with a static row slice (results invalid)
+                samples = [c[0:1] for c in C_ch]
+            else:
+                samples = [
+                    jnp.sum(c * roww, axis=0, keepdims=True) for c in C_ch
+                ]
         i1w, gxw, gyw = samples[0], samples[1], samples[2]
         if esm:
             # ESM Jacobian (Benhimane & Malis 2004): average the warped
@@ -1070,7 +1105,7 @@ def _fused_gn_kernel(
     state_out_ref, diag_out_ref,
     *, H, W, NT, NP, bilinear, max_iterations, min_gradient_norm, lambda_step,
     mix_mode="f32", robust_loss="none", robust_delta=0.1, esm=False,
-    tdist_burnin=0,
+    tdist_burnin=0, _ablate=None,
 ):
     """An ENTIRE photometric Gauss-Newton level in one kernel invocation.
 
@@ -1099,6 +1134,7 @@ def _fused_gn_kernel(
                 i0_ref, geom_ref, t_all_ref,
                 H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
                 robust_loss=robust_loss, robust_delta=sigma, esm=esm,
+                _ablate=_ablate,
             )
 
         # the (traced) cross-level carried scale rides in state slot 6; the
@@ -1111,6 +1147,7 @@ def _fused_gn_kernel(
                 i0_ref, geom_ref, t_all_ref,
                 H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
                 robust_loss=robust_loss, robust_delta=robust_delta, esm=esm,
+                _ablate=_ablate,
             )
 
         sigma0 = None
@@ -1228,6 +1265,7 @@ def fused_gn_level(
     depth_cols=None, depth_gain=None, mix_mode: str = "f32",
     robust_loss: str = "none", robust_delta: float = 0.1,
     source_grads=None, robust_scale=None, tdist_burnin: int = 0,
+    _ablate=None,
 ):
     """Run a whole Gauss-Newton pyramid level as ONE pallas call.
 
@@ -1269,9 +1307,45 @@ def fused_gn_level(
         t_all = jnp.concatenate(
             [t_all] + [_pad_channel_rows(c) for c in depth_cols], axis=0
         )  # (6*ceil8(H), W)
+    i0_flat = _pad_flat(source_intensity.reshape(1, H * W), NP)
+    geom = pack_geometry(
+        source_depth, intr, min_depth, max_depth, NP, source_grads
+    )
+    return fused_gn_level_packs(
+        i0_flat, geom, t_all, intr, init_state, min_depth, max_depth,
+        max_iterations, min_gradient_norm, lambda_step,
+        H=H, W=W, sampling=sampling, interpret=interpret, bi=bi,
+        depth_gain=depth_gain, mix_mode=mix_mode, robust_loss=robust_loss,
+        robust_delta=robust_delta, esm=source_grads is not None,
+        robust_scale=robust_scale, tdist_burnin=tdist_burnin,
+        _ablate=_ablate,
+    )
+
+
+def fused_gn_level_packs(
+    i0_flat, geom, t_all, intr, init_state,
+    min_depth, max_depth,
+    max_iterations: int, min_gradient_norm: float, lambda_step: float,
+    *, H: int, W: int, sampling: str = "nearest", interpret: bool = False,
+    bi: bool = False, depth_gain=None, mix_mode: str = "f32",
+    robust_loss: str = "none", robust_delta: float = 0.1,
+    esm: bool = False, robust_scale=None, tdist_burnin: int = 0,
+    _ablate=None,
+):
+    """fused_gn_level on PRE-PACKED per-frame inputs.
+
+    i0_flat (1, NP) padded source intensity, geom (4|6, NP) hoisted source
+    geometry (pack_geometry), t_all the channel-major target stack
+    (pack_target_colmajor; with bi=True the 6-channel stack). The prepped
+    sequence path (models/analytic.py prep_frame_analytic) computes these
+    ONCE per frame, batched, instead of per pair inside the serial scan —
+    a frame in a chain is the target of pair k-1 AND the source of pair k,
+    so the unprepped path built every frame's pyramid twice."""
+    NP, NT = _pick_tile_pixels(H, W)
     kern_fn = _fused_gn_bi_kernel if bi else _fused_gn_kernel
     extra = {} if bi else {
-        "esm": source_grads is not None, "tdist_burnin": int(tdist_burnin),
+        "esm": esm, "tdist_burnin": int(tdist_burnin),
+        "_ablate": _ablate,
     }
     kernel = functools.partial(
         kern_fn, H=H, W=W, NT=NT, NP=NP, bilinear=(sampling == "bilinear"),
@@ -1298,13 +1372,7 @@ def fused_gn_level(
         [jnp.asarray(init_state, jnp.float32), scale.reshape(1),
          jnp.zeros(1, jnp.float32)]
     ).reshape(1, 8)
-    inputs = [
-        st, const,
-        _pad_flat(source_intensity.reshape(1, H * W), NP),
-        pack_geometry(source_depth, intr, min_depth, max_depth, NP,
-                      source_grads),
-        t_all,
-    ]
+    inputs = [st, const, i0_flat, geom, t_all]
     state_out, diag = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2

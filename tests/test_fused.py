@@ -553,3 +553,52 @@ def test_band_window_covers_last_rows_at_unaligned_heights(intr):
         )
         assert float(masked) == 0.0, (H, W, float(masked))
         assert float(nvalid) == H * W, (H, W, float(nvalid))
+
+
+def test_prepped_alignment_matches_per_level_kernels(intr, small_pair):
+    """align_prepped (the prepped sequence path's per-pair core) must
+    reproduce the per-level fused_gn_level chain exactly: prep_frame packs
+    fed to fused_gn_level_packs == fused_gn_level building its own packs
+    (interpret mode; same kernels, same inputs)."""
+    if not F._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    import phovo_tpu.models.analytic as A
+    from phovo_tpu.ops import pyramid as pyr
+    from phovo_tpu.utils.config import PhovoConfig
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = PhovoConfig(
+        num_levels=3, blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.0625,) * 3, max_iterations=(0, 2, 3),
+        lambda_steps=(1.0,) * 3, min_gradient_norms=(0.0,) * 3,
+        sampling="nearest", mix_mode="f32",
+    )
+    shape = I0.shape
+    src = A.prep_frame_analytic(
+        jnp.asarray(I0), jnp.asarray(D0), intr, cfg
+    )
+    tgt = A.prep_frame_analytic(
+        jnp.asarray(I1), jnp.asarray(D1), intr, cfg
+    )
+    res = A.align_prepped(
+        src, tgt, shape, intr, jnp.zeros(6), cfg, interpret=True
+    )
+
+    # reference: per-level fused_gn_level building its own packs
+    int1p = pyr.build_pyramid(jnp.asarray(I1), 3, (0,) * 3)
+    gx1, gy1 = pyr.build_gradient_pyramid(int1p, (0.0625,) * 3)
+    int0p = pyr.build_pyramid(jnp.asarray(I0), 3, (0,) * 3)
+    dep0p = pyr.build_pyramid(jnp.asarray(D0), 3, None)
+    state = jnp.zeros(6)
+    for level in (2, 1):
+        tcols = F.pack_target_colmajor(int1p[level], gx1[level], gy1[level])
+        state, *_ = F.fused_gn_level(
+            int0p[level], dep0p[level], tcols, intr.at_level(level), state,
+            cfg.min_depth, cfg.max_depth, cfg.max_iterations[level],
+            0.0, 1.0, sampling="nearest", interpret=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.state), np.asarray(state), atol=1e-6
+    )
+    # skipped level 0 leaves zero diagnostics and the state untouched
+    assert int(np.asarray(res.iterations)[0]) == 0
