@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ba-grid", type=int, default=8,
                    help="landmarks per keyframe = grid*grid (one per cell "
                         "at the cell's highest-gradient valid-depth pixel)")
+    p.add_argument("--ba-occlusion-gate", type=float, default=0.3,
+                   help="keyframe mode: drop BA observations whose predicted"
+                        "-vs-measured depth disagree by more than this many "
+                        "meters (the landmark is occluded in that frame — "
+                        "its rows are garbage, not noise); 0 disables")
+    p.add_argument("--ba-z-robust-delta", type=float, default=0.02,
+                   help="keyframe mode: Huber delta (METERS) for the BA "
+                        "depth rows (caps heavy-tailed depth-interpolation "
+                        "error near edges that survives the occlusion "
+                        "gate); 0 disables")
     p.add_argument("--ba-robust-delta", type=float, default=0.1,
                    help="keyframe mode: Huber IRLS delta for the photometric "
                         "BA refinement (caps occluded/edge-contaminated "
@@ -90,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "block-Jacobi PCG (O(M+K) memory/traffic, right for "
                         "map-scale graphs), or auto (dense for <=192 "
                         "keyframes)")
+    p.add_argument("--pg-incremental", type=int, default=0,
+                   help="keyframe mode: re-solve the pose graph and rebase "
+                        "keyframe poses every N promotions (closures fold "
+                        "in as they arrive instead of once at finalize; "
+                        "0 = batch-only)")
     p.add_argument("--kf-translation", type=float, default=0.15,
                    help="keyframe mode: promote a new keyframe beyond this "
                         "tracked translation (meters)")
@@ -671,6 +686,7 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         kf_translation=args.kf_translation,
         kf_rotation=args.kf_rotation,
         pg_solver=args.pg_solver,
+        pg_incremental=args.pg_incremental,
     )
     # raw replay + chunked tracking: stream STORAGE-dtype frames (uint8
     # intensity, uint16 depth counts as memmap views) and let the tracking
@@ -729,12 +745,16 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         ba_robust_delta=args.ba_robust_delta,
         ba_scope=args.ba_scope,
         ba_covis=args.ba_covis,
+        ba_occ_gate=args.ba_occlusion_gate,
+        ba_z_robust_delta=args.ba_z_robust_delta,
     )
     t_finalize = _time.perf_counter() - t0 - t_track
+    ft = getattr(kvo, "finalize_timings", {})
+    items = "".join(f", {k} {v:.1f} s" for k, v in ft.items())
     print(
         f"keyframe wall: track {t_track:.1f} s "
         f"({n / max(t_track, 1e-9):.1f} frames/s), "
-        f"finalize {t_finalize:.1f} s"
+        f"finalize {t_finalize:.1f} s{items}"
     )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:

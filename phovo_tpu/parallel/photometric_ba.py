@@ -55,6 +55,15 @@ class PhotometricBAProblem(NamedTuple):
     obs_point: jax.Array  # (K,) int32 landmark index
     weights: jax.Array  # (K,) photometric information weight
     z_weights: jax.Array  # (K,) depth information weight (0 = photo-only)
+    # occlusion gate (meters): observations whose predicted-vs-measured
+    # depth disagree by more than this are DROPPED (valid=0), both rows.
+    # A landmark occluded in a frame sees a different surface there — its
+    # photometric and depth residuals are not noisy measurements but
+    # garbage; IRLS down-weighting (robust_delta) distorts the inlier
+    # weighting instead (r4 measurement: joint-norm Huber crushes the
+    # strong depth rows on occlusion-free scenes and reopens the
+    # photo-degeneracy). inf disables.
+    occ_gate: jax.Array | float = np.inf
 
 
 def _sample_stack(flat_imgs, base, col, row, H, W):
@@ -80,10 +89,17 @@ def _sample_stack(flat_imgs, base, col, row, H, W):
     return top * (1.0 - wr) + bot * wr, inb
 
 
-def _photo_residual(state, point, base, ref_i, flat_I, flat_D, intr, H, W):
+def _photo_residual(
+    state, point, base, ref_i, flat_I, flat_D, intr, H, W,
+    occ_gate=np.inf,
+):
     """(r_I, r_z, valid) for one observation. Projection follows the
     reference convention (u = fx x/z + cx, CPhotoconsistencyOdometry.h:119-121)
-    with T = pose_matrix(state) the world-from-keyframe transform."""
+    with T = pose_matrix(state) the world-from-keyframe transform.
+
+    occ_gate (meters): |z - D_i| beyond it marks the observation occluded
+    (the landmark projects onto a DIFFERENT surface in frame i — both its
+    photometric and depth residuals are meaningless there) and drops it."""
     T = se3.pose_matrix(state)
     R = T[:3, :3]
     t = T[:3, 3]
@@ -94,7 +110,9 @@ def _photo_residual(state, point, base, ref_i, flat_I, flat_D, intr, H, W):
     v = intr.fy * p[1] / safe_z + intr.cy
     Ii, inb = _sample_stack(flat_I, base, u, v, H, W)
     Di, _ = _sample_stack(flat_D, base, u, v, H, W)
-    valid = inb & (z > 1e-6) & (Di > 1e-6)
+    valid = (
+        inb & (z > 1e-6) & (Di > 1e-6) & (jnp.abs(z - Di) < occ_gate)
+    )
     return jnp.stack([Ii - ref_i, z - Di]), valid
 
 
@@ -113,19 +131,21 @@ def _linearize(problem: PhotometricBAProblem, intr: Intrinsics):
     base = iw * (H * W)
     ref = problem.ref_intensity[jw]
 
+    gate = problem.occ_gate
+
     def one(s_k, X_k, base_k, ref_k):
         def res_s(q):
             return _photo_residual(
-                q, X_k, base_k, ref_k, flat_I, flat_D, intr, H, W
+                q, X_k, base_k, ref_k, flat_I, flat_D, intr, H, W, gate
             )[0]
 
         def res_x(q):
             return _photo_residual(
-                s_k, q, base_k, ref_k, flat_I, flat_D, intr, H, W
+                s_k, q, base_k, ref_k, flat_I, flat_D, intr, H, W, gate
             )[0]
 
         r, valid = _photo_residual(
-            s_k, X_k, base_k, ref_k, flat_I, flat_D, intr, H, W
+            s_k, X_k, base_k, ref_k, flat_I, flat_D, intr, H, W, gate
         )
         A = jax.jacfwd(res_s)(s_k)
         B = jax.jacfwd(res_x)(X_k)
@@ -144,17 +164,40 @@ def _linearize(problem: PhotometricBAProblem, intr: Intrinsics):
 
 
 def _accumulate(problem, intr, M, Pn, vma_axes=(), robust_delta=None,
-                sparse=False):
+                sparse=False, robust_z_delta=None):
     r, A, B, iw, jw = _linearize(problem, intr)
-    if robust_delta is not None:
-        # Huber IRLS on the weighted per-observation residual norm: caps the
-        # influence of occluded / specular / dynamic-object observations,
-        # the dominant failure mode of photometric costs
-        n = jnp.linalg.norm(r, axis=1)
-        sw = jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(n, 1e-12)))
-        r = r * sw[:, None]
-        A = A * sw[:, None, None]
-        B = B * sw[:, None, None]
+    if robust_delta is not None or robust_z_delta is not None:
+        # PER-ROW Huber IRLS, each row in its own units. robust_delta caps
+        # the PHOTOMETRIC row (intensity units: specular/exposure/
+        # interpolation outliers); robust_z_delta caps the depth row in
+        # METERS (heavy-tailed bilinear-interpolation error near depth
+        # curvature/edges that survives the occlusion gate). r4
+        # measurement against the earlier joint-norm form: the joint norm
+        # is dominated by the (fx/z)-weighted depth rows, so any delta
+        # small enough to help reweighted every strong depth inlier into
+        # the L1 regime — on occlusion-free scenes that mutes the depth
+        # information and reopens the photometric degeneracy (plane
+        # map-scale ATE 0.0134 quadratic vs 0.0249 joint-norm). Depth
+        # OUTLIERS (occlusions) are a different surface, not noise — the
+        # occ_gate drops them outright.
+        ones = jnp.ones(r.shape[0], r.dtype)
+        swI = ones
+        if robust_delta is not None:
+            aI = jnp.abs(r[:, 0])
+            swI = jnp.sqrt(
+                jnp.minimum(1.0, robust_delta / jnp.maximum(aI, 1e-12))
+            )
+        swZ = ones
+        if robust_z_delta is not None:
+            zw = jnp.maximum(problem.z_weights, 1e-12)
+            az = jnp.abs(r[:, 1]) / jnp.sqrt(zw)  # back to meters
+            swZ = jnp.sqrt(
+                jnp.minimum(1.0, robust_z_delta / jnp.maximum(az, 1e-12))
+            )
+        row = jnp.stack([swI, swZ], axis=1)
+        r = r * row
+        A = A * row[:, :, None]
+        B = B * row[:, :, None]
     hp = jax.lax.Precision.HIGHEST
     AtA = jnp.einsum("kai,kaj->kij", A, A, precision=hp)
     BtB = jnp.einsum("kai,kaj->kij", B, B, precision=hp)
@@ -201,6 +244,7 @@ def optimize_photometric_bundle(
     fixed_first: bool = True,
     robust_delta: float | None = None,
     schur: str = "dense",
+    robust_z_delta: float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Joint photometric refinement of keyframe poses and landmarks.
 
@@ -255,17 +299,20 @@ def optimize_photometric_bundle(
     return _optimize_photometric_jit(
         problem, intr, jnp.float32(damping), pair_a, pair_b,
         mesh=mesh, iterations=iterations, fixed_first=fixed_first,
-        robust_delta=robust_delta,
+        robust_delta=robust_delta, robust_z_delta=robust_z_delta,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "iterations", "fixed_first", "robust_delta"),
+    static_argnames=(
+        "mesh", "iterations", "fixed_first", "robust_delta",
+        "robust_z_delta",
+    ),
 )
 def _optimize_photometric_jit(
     problem, intr, damping, pair_a, pair_b,
-    *, mesh, iterations, fixed_first, robust_delta
+    *, mesh, iterations, fixed_first, robust_delta, robust_z_delta=None
 ):
     """Jitted core with the window as an ARGUMENT: a closure-captured window
     would bake the keyframe IMAGES into the program as constants — every
@@ -275,13 +322,13 @@ def _optimize_photometric_jit(
     return _optimize_photometric_core(
         problem, intr, damping, pair_a, pair_b, mesh=mesh,
         iterations=iterations, fixed_first=fixed_first,
-        robust_delta=robust_delta,
+        robust_delta=robust_delta, robust_z_delta=robust_z_delta,
     )
 
 
 def _optimize_photometric_core(
     problem, intr, damping, pair_a, pair_b,
-    *, mesh, iterations, fixed_first, robust_delta
+    *, mesh, iterations, fixed_first, robust_delta, robust_z_delta=None
 ):
     """Traceable (un-jitted) LM driver over the photometric window — called
     by _optimize_photometric_jit and from inside the scanned multi-window
@@ -299,22 +346,25 @@ def _optimize_photometric_core(
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            # intrinsics/images/reference intensities replicate;
-            # observations shard
-            in_specs=(P(), P(), P(), P(), P(), P(), spec, spec, spec, spec),
+            # intrinsics/images/reference intensities/occlusion gate
+            # replicate; observations shard
+            in_specs=(
+                P(), P(), P(), P(), P(), P(), spec, spec, spec, spec, P(),
+            ),
             out_specs=out_specs,
         )
         def accumulate(
-            states, points, intr_r, imgs, deps, ref, op_s, ol_s, w_s, zw_s
+            states, points, intr_r, imgs, deps, ref, op_s, ol_s, w_s, zw_s,
+            gate,
         ):
             prob = PhotometricBAProblem(
                 pose_states=states, points=points, intensities=imgs,
                 depths=deps, ref_intensity=ref, obs_pose=op_s,
-                obs_point=ol_s, weights=w_s, z_weights=zw_s,
+                obs_point=ol_s, weights=w_s, z_weights=zw_s, occ_gate=gate,
             )
             blocks = _accumulate(
                 prob, intr_r, M, Pn, tuple(mesh.axis_names), robust_delta,
-                sparse=sparse,
+                sparse=sparse, robust_z_delta=robust_z_delta,
             )
             return tuple(
                 b if (sparse and k == 2)
@@ -327,6 +377,7 @@ def _optimize_photometric_core(
                 states, points, intr, problem.intensities, problem.depths,
                 problem.ref_intensity, problem.obs_pose, problem.obs_point,
                 problem.weights, problem.z_weights,
+                jnp.asarray(problem.occ_gate, jnp.float32),
             )
 
     else:
@@ -335,6 +386,7 @@ def _optimize_photometric_core(
             return _accumulate(
                 problem._replace(pose_states=states, points=points),
                 intr, M, Pn, robust_delta=robust_delta, sparse=sparse,
+                robust_z_delta=robust_z_delta,
             )
 
     from phovo_tpu.parallel.bundle_adjustment import (
@@ -375,6 +427,7 @@ def build_photometric_global(
     max_covis: int = 6,
     photo_weight: float = 1.0,
     depth_weight_scale: float = 1.0,
+    occ_gate: float = np.inf,
     device_intensities: jax.Array | None = None,  # (M, H, W) float 0..1
     device_depths: jax.Array | None = None,  # (M, H, W) float meters
 ) -> PhotometricBAProblem:
@@ -472,6 +525,7 @@ def build_photometric_global(
         obs_point=jnp.asarray(obs_point),
         weights=jnp.full(obs_pose.shape, photo_weight, jnp.float32),
         z_weights=jnp.full(obs_pose.shape, zw, jnp.float32),
+        occ_gate=jnp.float32(occ_gate),
     )
 
 
@@ -540,7 +594,7 @@ def window_starts(M: int, window: int) -> list[int]:
     jax.jit,
     static_argnames=(
         "window", "grid", "iterations", "robust_delta",
-        "photo_weight", "depth_weight_scale",
+        "photo_weight", "depth_weight_scale", "occ_gate", "robust_z_delta",
     ),
 )
 def refine_photometric_windows(
@@ -559,6 +613,8 @@ def refine_photometric_windows(
     robust_delta: float | None,
     photo_weight: float = 1.0,
     depth_weight_scale: float = 1.0,
+    occ_gate: float = np.inf,
+    robust_z_delta: float | None = None,
 ):
     """ALL sliding-window photometric BAs in ONE device program.
 
@@ -586,12 +642,12 @@ def refine_photometric_windows(
         problem, lm_v = build_window_problem_device(
             kf_intensities, kf_depths, st_w, sel, s, intr,
             window=Wn, grid=grid, photo_weight=photo_weight,
-            depth_weight_scale=depth_weight_scale,
+            depth_weight_scale=depth_weight_scale, occ_gate=occ_gate,
         )
         refined, points, _ = _optimize_photometric_core(
             problem, intr, damping, None, None, mesh=None,
             iterations=iterations, fixed_first=True,
-            robust_delta=robust_delta,
+            robust_delta=robust_delta, robust_z_delta=robust_z_delta,
         )
         refined = jnp.where(apply, refined, st_w)
         states = jax.lax.dynamic_update_slice(states, refined, (s, 0))
@@ -616,6 +672,7 @@ def build_window_problem_device(
     grid: int,
     photo_weight: float = 1.0,
     depth_weight_scale: float = 1.0,
+    occ_gate: float = np.inf,
 ) -> tuple[PhotometricBAProblem, jax.Array]:
     """Device-side analog of build_photometric_window for one contiguous
     window of the keyframe stack: landmarks backproject from the
@@ -683,6 +740,7 @@ def build_window_problem_device(
         obs_point=obs_point,
         weights=jnp.full(obs_pose.shape, photo_weight, jnp.float32),
         z_weights=jnp.full(obs_pose.shape, zw, jnp.float32),
+        occ_gate=jnp.float32(occ_gate),
     )
     return problem, lm_v
 
@@ -695,6 +753,7 @@ def build_photometric_window(
     grid: int = 8,
     photo_weight: float = 1.0,
     depth_weight_scale: float = 1.0,
+    occ_gate: float = np.inf,
 ) -> PhotometricBAProblem:
     """Assemble a photometric BA window from M keyframes.
 
@@ -763,4 +822,5 @@ def build_photometric_window(
         obs_point=jnp.asarray(obs_point),
         weights=jnp.full(obs_pose.shape, photo_weight, jnp.float32),
         z_weights=jnp.full(obs_pose.shape, zw, jnp.float32),
+        occ_gate=jnp.float32(occ_gate),
     )

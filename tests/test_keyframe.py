@@ -384,3 +384,30 @@ def test_finalize_exports_ba_landmark_map(loop_sequence, tmp_path):
     assert n_hdr == len(kvo.map_points)
     body = txt[txt.index("end_header") + 1:]
     assert len(body) == n_hdr and len(body[0].split()) == 6
+
+
+def test_incremental_pose_graph_matches_batch_finalize(loop_sequence):
+    """VERDICT r3 item 4: --pg-incremental N re-solves the graph every N
+    promotions and rebases keyframe poses; the final batch finalize must
+    land on (essentially) the batch-only trajectory — the incremental
+    solves only move the graph INIT closer to the optimum."""
+    frames, gt_poses = loop_sequence
+
+    batch = _make_kvo()
+    list(batch.run(frames))
+    t_batch = batch.finalize(iterations=8)
+
+    vo = PhotoconsistencyOdometryAnalytic(CFG)
+    vo.set_intrinsic_matrix(np.asarray(INTR.matrix()))
+    inc = KeyframeVisualOdometry(
+        vo, kf_translation=0.08, kf_rotation=0.1, loop_radius=0.15,
+        loop_min_gap=2, loop_weight=50.0, pg_incremental=2,
+    )
+    list(inc.run(frames))
+    assert inc.incremental_solves >= 1
+    t_inc = inc.finalize(iterations=8)
+
+    assert len(t_inc) == len(t_batch)
+    assert len(inc.loop_closures) >= 1
+    for a, b in zip(t_inc, t_batch):
+        np.testing.assert_allclose(a.pose[:3, 3], b.pose[:3, 3], atol=2e-3)

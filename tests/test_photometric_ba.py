@@ -500,3 +500,36 @@ def test_scanned_windows_track_sequential_outcome():
     assert err_seq < 0.85 * err0, (err0, err_seq)
     assert abs(err_scan - err_seq) < 0.5 * err0, (err_scan, err_seq)
     assert n_scan_pts == len(kvo.map_points)
+
+
+def test_global_ba_bucketing_padding_is_inert():
+    """_refine_photometric_global pads the keyframe count to a bucket of
+    16 for compile-cache reuse; padded keyframes (zero depth, 1e6-far
+    poses) must not change the real keyframes' refinement. Reference: the
+    unpadded joint problem solved directly. Damping 1.0 regularizes the
+    steps so the comparison is tight (see
+    test_scanned_windows_match_host_loop)."""
+    from phovo_tpu.parallel.photometric_ba import (
+        build_photometric_global,
+        optimize_photometric_bundle,
+    )
+
+    kvo, gt_world, intr = _room_kvo(n_kf=7)
+    kfs = kvo.keyframes
+    states0 = se3.matrix_to_state_np(
+        np.stack([k.pose for k in kfs])
+    ).astype(np.float32)
+    problem = build_photometric_global(
+        np.stack([k.intensity for k in kfs]),
+        np.stack([k.depth for k in kfs]).astype(np.float32),
+        states0, intr, grid=6, max_covis=3, occ_gate=0.3,
+    )
+    ref, _, _ = optimize_photometric_bundle(
+        problem, intr, iterations=3, damping=1.0, robust_delta=0.1,
+        schur="auto", robust_z_delta=0.02,
+    )
+    kvo._refine_photometric_global(None, 3, 6, 1.0, 0.1, 3)
+    refined = se3.matrix_to_state_np(
+        np.stack([k.pose for k in kfs])
+    )
+    np.testing.assert_allclose(refined, np.asarray(ref), atol=1e-4)

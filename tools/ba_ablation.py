@@ -92,6 +92,7 @@ def main():
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--robust-delta", type=float, default=None)
     ap.add_argument("--occ-gate", type=float, default=None)
+    ap.add_argument("--z-robust-delta", type=float, default=None)
     args = ap.parse_args()
     H, W = (int(v) for v in args.shape.split("x"))
     fx = 525.0 * W / 640.0
@@ -103,13 +104,16 @@ def main():
         ("pg-only", dict(ba_iterations=0)),
         ("ba3-window", dict(ba_iterations=3, ba_window=8,
                             ba_robust_delta=args.robust_delta,
-                            ba_occ_gate=args.occ_gate)),
+                            ba_occ_gate=args.occ_gate,
+                            ba_z_robust_delta=args.z_robust_delta)),
         ("ba6-window", dict(ba_iterations=6, ba_window=8,
                             ba_robust_delta=args.robust_delta,
-                            ba_occ_gate=args.occ_gate)),
+                            ba_occ_gate=args.occ_gate,
+                            ba_z_robust_delta=args.z_robust_delta)),
         ("ba3-global", dict(ba_iterations=3, ba_scope="global", ba_covis=6,
                             ba_robust_delta=args.robust_delta,
-                            ba_occ_gate=args.occ_gate)),
+                            ba_occ_gate=args.occ_gate,
+                            ba_z_robust_delta=args.z_robust_delta)),
     ]
     for scene, traj, scale in [
         ("plane", "forward", 1.2),

@@ -145,6 +145,8 @@ def run_pipeline(args, pg_solver: str, out: str) -> dict:
         "track_s": r"track ([\d.]+) s",
         "track_fps": r"\(([\d.]+) frames/s\)",
         "finalize_s": r"finalize ([\d.]+) s",
+        "pose_graph_s": r"pose_graph ([\d.]+) s",
+        "photometric_ba_s": r"photometric_ba ([\d.]+) s",
         "ate_m": r"ATE rmse: ([\d.]+) m",
         "rpe_m": r"RPE rmse: ([\d.]+) m",
         "rpe_deg": r"/ ([\d.]+) deg",
