@@ -30,6 +30,7 @@ import numpy as np
 from phovo_tpu.datasets.tum import RGBDFrame
 from phovo_tpu.models.base import (
     BAND_FALLBACK_DEFAULT,
+    AlignmentResult,
     PhotoconsistencyOdometryBase,
     band_masked_fraction,
 )
@@ -604,8 +605,33 @@ class KeyframeVisualOdometry:
         import jax
 
         pending, self._pending_closures = self._pending_closures, []
-        for new_index, cand_meta, res, B, npix_full in pending:
-            res = jax.device_get(res)
+        if not pending:
+            return
+        # SIX transfers for every in-flight closure batch: per-batch (and
+        # even per-leaf) device_get pays a host<->device round trip each —
+        # ~250 deferred batches x 6 result fields at map scale accounted
+        # for most of the finalize pose_graph wall on a slow tunnel
+        # (measured 0.2-10 s depending on tunnel weather). Concatenating
+        # per FIELD on device first makes the fetch 6 arrays total.
+        sizes = [int(p[2].state.shape[0]) for p in pending]
+        cat = AlignmentResult(
+            *(
+                jnp.concatenate([getattr(p[2], f) for p in pending])
+                for f in AlignmentResult._fields
+            )
+        )
+        host = jax.device_get(cat)
+        offs = np.cumsum([0] + sizes)
+        fetched = [
+            AlignmentResult(
+                *(getattr(host, f)[offs[k]:offs[k + 1]]
+                  for f in AlignmentResult._fields)
+            )
+            for k in range(len(pending))
+        ]
+        for (new_index, cand_meta, _, B, npix_full), res in zip(
+            pending, fetched
+        ):
             for k, (old_index, rel_pred) in enumerate(cand_meta[:B]):
                 state_k = np.asarray(res.state[k])
                 cost_k = np.asarray(res.cost[k])
@@ -758,6 +784,8 @@ class KeyframeVisualOdometry:
         _t0 = _time.perf_counter()
         if len(self.keyframes) >= 2:
             graph = self.build_pose_graph()
+            self.finalize_timings["pg_build"] = _time.perf_counter() - _t0
+            _t1 = _time.perf_counter()
             # bucket=True: graph sizes vary run to run; bucketed shapes
             # reuse one compiled program per size bucket (and hit the
             # persistent compilation cache across runs) instead of paying
@@ -767,6 +795,7 @@ class KeyframeVisualOdometry:
                 solver=self.pg_solver, bucket=True,
             )
             states = np.asarray(states, dtype=np.float64)
+            self.finalize_timings["pg_solve"] = _time.perf_counter() - _t1
             for k, kf in enumerate(self.keyframes):
                 kf.pose = se3.pose_matrix_np(states[k])
         self.finalize_timings["pose_graph"] = _time.perf_counter() - _t0
