@@ -355,6 +355,125 @@ def align_sequence_prepped(
     return results
 
 
+def levelmajor_eligible(
+    config: PhovoConfig, shape, use_fused: bool, warm_start: bool
+) -> bool:
+    """True when the LEVEL-MAJOR sequence path applies: every active level
+    runs the sublane-batched kernel (ops/fused_batch.py) over the whole
+    chunk at once.  Requires the reference's zero-init pair semantics
+    (PhotoconsistencyVisualOdometry.cpp:224) — with warm_start each pair
+    depends on the previous pair's result, so pairs cannot advance in
+    lockstep — and a per-level VMEM-fitting batch tiling."""
+    import os
+
+    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+        return False
+    if warm_start or config.robust_loss == "tdist":
+        return False
+    if not prepped_sequence_eligible(config, shape, use_fused):
+        return False
+    from phovo_tpu.ops.fused_batch import _batch_tilings
+
+    esm = config.gradient_at == "esm"
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if _batch_tilings(h, w, esm) is None:
+            return False
+    return True
+
+
+def align_pairs_levelmajor(
+    prep_pairs: dict,
+    shape: tuple[int, int],
+    intr: Intrinsics,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """LEVEL-major alignment of B independent pairs from per-pair packs.
+
+    prep_pairs: dict level -> (i0 (B, NP) source intensity rows,
+    geom (B, GR, NP) source geometry packs, t_all (B, 3HP, W) target
+    stacks) for every ACTIVE level (prep_frame_analytic products, selected
+    per pair by the caller).  All B pairs' coarsest levels advance in
+    lockstep in one sublane-batched kernel (ops/fused_batch.py), then all
+    pairs' next level, and so on — the batched kernel amortizes the
+    per-iteration elementwise/solve/loop overhead across S pairs per
+    vector op, which the r4 ablation showed dominating every coarse
+    level."""
+    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+
+    esm = config.gradient_at == "esm"
+    L = config.num_levels
+    B = next(iter(prep_pairs.values()))[0].shape[0]
+    states = jnp.zeros((B, 6), jnp.float32)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        i0, geom, t_all = prep_pairs[level]
+        st, its, gnorm, cost, nvalid, masked = fused_gn_level_batch(
+            i0, geom, t_all,
+            intr.at_level(level), states,
+            config.min_depth, config.max_depth,
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            H=H, W=W, sampling=config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta, esm=esm,
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
+def align_sequence_levelmajor(
+    intensities: jax.Array,  # (B+1, H, W) float32 0..1 (or uint8)
+    depths: jax.Array,  # (B+1, H, W)
+    intr: Intrinsics,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """align_sequence re-ordered LEVEL-major: all B pairs' coarsest levels
+    advance in lockstep in one sublane-batched kernel, then all pairs'
+    next level, and so on — instead of a serial scan of whole alignments.
+
+    Under the reference's zero-init semantics the pairs of a chunk are
+    independent, so nothing forces them through a serial chain
+    (align_pairs_levelmajor).  Per-pair results match the scan path at the
+    lane-reduction reassociation level (~1e-5 states;
+    tests/test_fused_batch.py)."""
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    prep = jax.vmap(
+        lambda i, d: prep_frame_analytic(i, d, intr, config)
+    )(intensities, depths)
+    prep_pairs = {
+        level: (i0f[:-1, 0, :], geom[:-1], t_all[1:])
+        for level, (i0f, geom, t_all) in prep.items()
+    }
+    return align_pairs_levelmajor(
+        prep_pairs, shape, intr, config, interpret
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config", "use_fused", "warm_start"))
 def align_sequence(
     intensities: jax.Array,  # (B, H, W) consecutive frames
@@ -381,6 +500,8 @@ def align_sequence(
     prep per frame instead of two (each frame is both a pair's target and
     the next pair's source).
     """
+    if levelmajor_eligible(config, intensities.shape[1:], use_fused, warm_start):
+        return align_sequence_levelmajor(intensities, depths, intr, config)
     if prepped_sequence_eligible(config, intensities.shape[1:], use_fused):
         return align_sequence_prepped(
             intensities, depths, intr, config, warm_start
@@ -502,12 +623,15 @@ def align_batch_fused(
     config: PhovoConfig,
     interpret: bool = False,
 ) -> AlignmentResult:
-    """S independent alignments advanced by ONE multi-stream kernel per
-    level (ops/fused.py fused_gn_level_multi) instead of a vmapped grid
-    axis — the serving/batch fast path attacking the serial-iteration
-    ceiling (BASELINE.md roofline: one chip saturates at ~3.5k pairs/s
-    because each alignment is latency-bound; one kernel advancing S chains
-    amortizes the per-iteration launch/VPU overhead across streams).
+    """S independent alignments advanced by ONE batched kernel per level —
+    the serving/batch fast path attacking the serial-iteration ceiling.
+
+    Per level the dispatch prefers the sublane-batched kernel
+    (ops/fused_batch.py: S streams stacked on the sublane axis, all
+    elementwise/solve work S streams per vector op) whenever a VMEM tiling
+    exists, falling back to the multi-stream kernel (ops/fused.py
+    fused_gn_level_multi: launch-overhead amortization only) for level
+    shapes too large to stack.
 
     Callers must gate on multi_kernel_eligible(config, (H, W), S); use
     align_batch (vmap) otherwise. Pyramid/gradient builds are batched XLA.
@@ -533,26 +657,65 @@ def align_batch_fused(
         jnp.zeros((S,), jnp.int32), jnp.zeros((S,)), jnp.zeros((S,)),
         jnp.zeros((S,)), jnp.zeros((S,)),
     )
+    from phovo_tpu.ops.fused_batch import _batch_tilings, fused_gn_level_batch
+
     for level in range(L - 1, -1, -1):
         if config.max_iterations[level] <= 0:
             diags[level] = zeros
             continue
         intr_l = intr.at_level(level)
-        tgt = jnp.concatenate(
-            [int1[level], gx1[level], gy1[level]], axis=-2
-        )  # (S, 3h, w)
-        st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level_multi(
-            int0[level], dep0[level], tgt, intr_l, states,
-            config.min_depth, config.max_depth,
-            config.max_iterations[level],
-            config.min_gradient_norms[level],
-            config.lambda_steps[level],
-            config.sampling, interpret=interpret,
-            mix_mode=config.mix_mode,
-            robust_loss=config.robust_loss,
-            robust_delta=config.robust_delta,
-            source_grads=(gx0[level], gy0[level]) if esm else None,
-        )
+        h, w = int0[level].shape[1:]
+        # prefer the sublane-batched kernel (ops/fused_batch.py: S streams
+        # per vector op) whenever a VMEM tiling exists; the multi-stream
+        # kernel (launch-overhead amortization only) is the fallback for
+        # level shapes too large to stack
+        if _batch_tilings(h, w, esm) is not None and config.robust_loss != "tdist":
+            NP, _ = fused_ops._pick_tile_pixels(h, w)
+            i0f = jax.vmap(
+                lambda a: fused_ops._pad_flat(a.reshape(1, h * w), NP)[0]
+            )(int0[level])  # (S, NP)
+            if esm:
+                geom = jax.vmap(
+                    lambda d, gx, gy: fused_ops.pack_geometry(
+                        d, intr_l, config.min_depth, config.max_depth, NP,
+                        (gx, gy),
+                    )
+                )(dep0[level], gx0[level], gy0[level])
+            else:
+                geom = jax.vmap(
+                    lambda d: fused_ops.pack_geometry(
+                        d, intr_l, config.min_depth, config.max_depth, NP
+                    )
+                )(dep0[level])  # (S, GR, NP)
+            t_all = jax.vmap(fused_ops.pack_target_colmajor)(
+                int1[level], gx1[level], gy1[level]
+            )  # (S, 3HP, w)
+            st, its, gnorm, cost, nvalid, masked = fused_gn_level_batch(
+                i0f, geom, t_all, intr_l, states,
+                config.min_depth, config.max_depth,
+                config.max_iterations[level],
+                config.min_gradient_norms[level],
+                config.lambda_steps[level],
+                H=h, W=w, sampling=config.sampling, interpret=interpret,
+                mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta, esm=esm,
+            )
+        else:
+            tgt = jnp.concatenate(
+                [int1[level], gx1[level], gy1[level]], axis=-2
+            )  # (S, 3h, w)
+            st, its, gnorm, cost, nvalid, masked = fused_ops.fused_gn_level_multi(
+                int0[level], dep0[level], tgt, intr_l, states,
+                config.min_depth, config.max_depth,
+                config.max_iterations[level],
+                config.min_gradient_norms[level],
+                config.lambda_steps[level],
+                config.sampling, interpret=interpret,
+                mix_mode=config.mix_mode,
+                robust_loss=config.robust_loss,
+                robust_delta=config.robust_delta,
+                source_grads=(gx0[level], gy0[level]) if esm else None,
+            )
         states = st
         diags[level] = (its, gnorm, cost, nvalid, masked)
 

@@ -1,0 +1,562 @@
+"""Sublane-batched whole-level GN kernel: S independent pairs per vector op.
+
+The per-pair whole-level kernel (ops/fused.py _fused_gn_kernel) runs the
+reference's per-level loop (CPhotoconsistencyOdometryAnalytic.h:499-563) as
+an in-kernel while_loop, but every per-pixel quantity lives in (1, NT) rows:
+one sublane of each 8x128 vreg carries data, the other seven idle.  The r4
+ablation (BASELINE.md "Per-iteration cost itemization") shows the coarse
+levels are dominated by exactly this amortizable VPU/scalar work — at 30x40
+only ~0.2 us of the 1.7 us iteration is sampling; the rest is elementwise
+geometry/Jacobian/solve/loop overhead that does not shrink with image size.
+
+This module re-lays the batch on the SUBLANE axis: S pairs' pixels are
+(S, NT) arrays, so geometry, the 2x6 Jacobian chain, residual/column
+builds, the normal-equation reductions and the 6x6 Cholesky solves all
+process S pairs per vector op.  Per-pair work that encodes pair-specific
+warped coordinates (the one/two-hot sampling masks and the column-mix MXU
+dots, see ops/fused.py _fused_gn_multi_kernel's note on why streams cannot
+share a sampling rhs) stays a per-pair loop — it is the irreducible payload.
+
+Differences from fused_gn_level_multi (which loops S full linearizations):
+here only sampling is per-pair; everything else is one batched op.  The
+normal equations are computed as lane reductions over (S, NT) products
+instead of an MXU Gram — same f32 math, summation order differs at ulp
+level (tests pin agreement with the per-pair kernel).
+
+The level wrapper fans a B-pair chunk over a Pallas GRID of B/S blocks;
+grid pipelining double-buffers the next block's HBM->VMEM transfer behind
+the current block's iterations.  Used by the level-major sequence path
+(models/analytic.py align_sequence_levelmajor): the reference semantics
+zero-initialize every pair (PhotoconsistencyVisualOdometry.cpp:224), so all
+pairs of a chunk are independent and can advance in lockstep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phovo_tpu.ops.fused import (
+    BAND_TARGET,
+    _ceil8,
+    _chol_solve6,
+    _pick_tile_pixels,
+    _split_sample,
+    mixed_col_dot,
+)
+from phovo_tpu.ops.robust import sqrt_weight as robust_sqrt_weight
+
+try:  # pragma: no cover - import guard
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# VMEM plan for one grid block: Mosaic double-buffers the input blocks
+# across grid steps, plus the working set of ~30 live (S, NT) f32 arrays
+# and the per-pair sampling masks.  The budget is CALIBRATED on-device
+# (v5e): S=16 at 120x160 (model ~26.6 MB) compiles and is the fastest
+# measured tiling; S=32 there (model ~40 MB) exceeds VMEM.  The model
+# reproduces the measured-best (S, NT) at every headline level
+# (30x40 S=32/NT=1280, 60x80 S=32/NT=1280, 120x160 S=16/NT=2432).
+_VMEM_BUDGET = 27_000_000
+_LIVE_ROWS = 30  # conservative count of live (S, NT) temporaries
+
+
+def _batch_tilings(H: int, W: int, esm: bool = False):
+    """(S, NT) for the sublane-batched kernel at an H x W level, or None.
+
+    S must be a sublane multiple (Pallas block shapes need the second-to-
+    last dim divisible by 8); the batch tile NT is any 128-multiple divisor
+    of the per-pair NP — shrinking it trades per-tile overhead for a
+    smaller working set, so fine levels can keep S = 8 by tiling finer.
+    Prefers the largest S, then the largest NT that fits the budget.
+    """
+    NP, NT_def = _pick_tile_pixels(H, W)
+    GR = 6 if esm else 4
+    HP = _ceil8(H)
+    nts = [
+        t for t in range(128, NP + 1, 128)
+        if NP % t == 0 and t <= NT_def
+    ]
+    for S in (32, 16, 8):
+        inputs = 2 * 4 * S * (NP * (1 + GR) + 3 * HP * W)
+        if inputs > _VMEM_BUDGET:
+            continue
+        fitting = [
+            t for t in nts
+            if inputs + 4 * (_LIVE_ROWS * S * t + (W + 2 * BAND_TARGET) * t)
+            <= _VMEM_BUDGET
+        ]
+        if fitting:
+            return S, max(fitting)
+    return None
+
+
+def pick_batch_streams(H: int, W: int, esm: bool = False) -> int | None:
+    """Stream count for an H x W level (None: no fitting tiling — caller
+    falls back to the per-pair kernel)."""
+    t = _batch_tilings(H, W, esm)
+    return t[0] if t else None
+
+
+def _fused_gn_batch_kernel(
+    states_ref,  # (S, 8) VMEM f32 rows [x y z yaw pitch roll 0 0]
+    const_ref,  # (1, 8) SMEM [fx fy cx cy minD maxD 0 0]
+    i0_ref,  # (S, NP) VMEM source intensities (padded pixel rows)
+    geom_ref,  # (GR*S, NP) VMEM TYPE-major: rows [t*S + s] (pack_geometry rows)
+    t_all_ref,  # (S*3*HP, W) VMEM STREAM-major channel stacks
+    state_out_ref,  # (S, 8) VMEM
+    diag_out_ref,  # (S, 8) VMEM [it, ||g||, cost, nvalid, band_masked, 0, 0, 0]
+    *,
+    S,
+    H,
+    W,
+    NT,
+    NP,
+    bilinear,
+    max_iterations,
+    min_gradient_norm,
+    lambda_step,
+    mix_mode="f32",
+    robust_loss="none",
+    robust_delta=0.1,
+    esm=False,
+):
+    """S whole GN levels advanced in lockstep, batch on the sublane axis.
+
+    Carry: 11 (S, 1) vectors [x y z yaw pitch roll, it, gnorm, cost,
+    nvalid, masked].  A pair whose gradient norm drops below the threshold
+    freezes (state and diagnostics stop updating — same per-pair semantics
+    as _run_gn_loop); the loop runs until every pair froze or the shared
+    iteration budget is spent.
+    """
+    fx = const_ref[0, 0]
+    fy = const_ref[0, 1]
+    cx = const_ref[0, 2]
+    cy = const_ref[0, 3]
+    HP = _ceil8(H)
+    n_tiles = NP // NT
+    tile_rows = max(1, NT // W)
+    BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
+    CH = 3
+
+    def linearize(s0, s1, s2, s3, s4, s5):
+        """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
+
+        Returns (A [6][6], b [6], cost, nvalid, masked) — the batched
+        analog of the per-pair 8x8 Gram (ops/fused.py _linearize_gram),
+        computed as lane reductions over (S, NT) column products."""
+        cyw, syw = jnp.cos(s3), jnp.sin(s3)
+        cp, sp = jnp.cos(s4), jnp.sin(s4)
+        cr, sr = jnp.cos(s5), jnp.sin(s5)
+        # rotation rows (ZYX, ops/se3.pose_matrix) — all (S, 1)
+        R00, R01, R02 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+        R10, R11, R12 = syw * cp, syw * sp * sr + cyw * cr, syw * sp * cr - cyw * sr
+        R20, R21, R22 = -sp, cp * sr, cp * cr
+        dY00, dY01, dY02 = -syw * cp, -syw * sp * sr - cyw * cr, -syw * sp * cr + cyw * sr
+        dY10, dY11, dY12 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+        dP00, dP01, dP02 = -cyw * sp, cyw * cp * sr, cyw * cp * cr
+        dP10, dP11, dP12 = -syw * sp, syw * cp * sr, syw * cp * cr
+        dP20, dP21, dP22 = -cp, -sp * sr, -sp * cr
+        dR01y, dR02y = cyw * sp * cr + syw * sr, -cyw * sp * sr + syw * cr
+        dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
+        dR21y, dR22y = cp * cr, -cp * sr
+
+        def tile_entries(step):
+            if n_tiles == 1:
+                off = 0
+                px = geom_ref[0 * S:1 * S, :]
+                py = geom_ref[1 * S:2 * S, :]
+                pz = geom_ref[2 * S:3 * S, :]
+                vd = geom_ref[3 * S:4 * S, :]
+                i0 = i0_ref[:, :]
+            else:
+                off = pl.multiple_of(step * NT, 128)
+                px = geom_ref[0 * S:1 * S, pl.ds(off, NT)]
+                py = geom_ref[1 * S:2 * S, pl.ds(off, NT)]
+                pz = geom_ref[2 * S:3 * S, pl.ds(off, NT)]
+                vd = geom_ref[3 * S:4 * S, pl.ds(off, NT)]
+                i0 = i0_ref[:, pl.ds(off, NT)]
+
+            tx = R00 * px + R01 * py + R02 * pz + s0
+            ty = R10 * px + R11 * py + R12 * pz + s1
+            tz = R20 * px + R21 * py + R22 * pz + s2
+            safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
+            iz = 1.0 / safe_z
+            u = tx * fx * iz + cx
+            v = ty * fy * iz + cy
+            valid = (vd > 0.5) & (tz > 0)
+
+            ry0 = dY00 * px + dY01 * py + dY02 * pz
+            ry1 = dY10 * px + dY11 * py + dY12 * pz
+            rp0 = dP00 * px + dP01 * py + dP02 * pz
+            rp1 = dP10 * px + dP11 * py + dP12 * pz
+            rp2 = dP20 * px + dP21 * py + dP22 * pz
+            rr0 = dR01y * py + dR02y * pz
+            rr1 = dR11y * py + dR12y * pz
+            rr2 = dR21y * py + dR22y * pz
+
+            a0 = fx * iz
+            a2 = -fx * tx * iz * iz
+            b1 = fy * iz
+            b2 = -fy * ty * iz * iz
+            Ju0, Ju2 = a0, a2
+            Ju3 = a0 * ry0
+            Ju4 = a0 * rp0 + a2 * rp2
+            Ju5 = a0 * rr0 + a2 * rr2
+            Jv1, Jv2 = b1, b2
+            Jv3 = b1 * ry1
+            Jv4 = b1 * rp1 + b2 * rp2
+            Jv5 = b1 * rr1 + b2 * rr2
+
+            if bilinear:
+                c0 = jnp.floor(u)
+                r0 = jnp.floor(v)
+                fc = u - c0
+                fr = v - r0
+                inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            else:
+                c0 = jnp.round(u)
+                r0 = jnp.round(v)
+                fc = fr = None
+                inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
+            valid = valid & inb
+            c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)  # (S, NT)
+            r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
+            if bilinear:
+                c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
+                r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32)
+            else:
+                c_hi = c_lo
+                r_hi = r_lo
+
+            # Banded row window, per pair: each pair's tile lands in its own
+            # narrow target-row band (see ops/fused.py _linearize_gram).
+            # The band minimum is a batched lane reduction; the window
+            # slices below are per-pair (they index pair s's target).
+            if BAND < H:
+                rmin = jnp.min(
+                    jnp.where(valid, r_lo, jnp.int32(H)), axis=1, keepdims=True
+                )  # (S, 1)
+                band = jnp.clip(rmin, 0, HP - BAND)
+                band = (band // 8) * 8
+                in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+                masked_t = jnp.sum(
+                    jnp.where(valid & ~in_band, 1.0, 0.0),
+                    axis=1, keepdims=True,
+                )  # (S, 1)
+                valid = valid & in_band
+                r_lo_loc = r_lo - band
+                r_hi_loc = r_hi - band
+            else:
+                band = None
+                masked_t = jnp.zeros((S, 1), jnp.float32)
+                r_lo_loc = r_lo
+                r_hi_loc = r_hi
+
+            # --- per-pair sampling: one/two-hot column mask, column-mix MXU
+            # dot against pair s's banded target stack, row-mix reduce ---
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
+            samp_rows = [[] for _ in range(CH)]
+            for s in range(S):
+                cl_s = c_lo[s:s + 1]  # (1, NT)
+                if bilinear:
+                    ch_s = c_hi[s:s + 1]
+                    fc_s = fc[s:s + 1]
+                    colw = jnp.where(iota_w == cl_s, 1.0 - fc_s, 0.0) + jnp.where(
+                        iota_w == ch_s, fc_s, 0.0
+                    )
+                else:
+                    colw_dtype = (
+                        jnp.float32 if mix_mode == "f32" else jnp.bfloat16
+                    )
+                    colw = (iota_w == cl_s).astype(colw_dtype)
+                base = s * CH * HP
+                if BAND < H:
+                    b_s = pl.multiple_of(band[s, 0], 8)
+                    blocks = [
+                        t_all_ref[pl.ds(base + ch * HP + b_s, BAND), :]
+                        for ch in range(CH)
+                    ]
+                else:
+                    blocks = [
+                        t_all_ref[base + ch * HP:base + ch * HP + H, :]
+                        for ch in range(CH)
+                    ]
+                if mix_mode == "bf16x2g":
+                    C_ch = _split_sample(blocks, colw, bilinear, exact=(0,))
+                else:
+                    C = mixed_col_dot(
+                        jnp.concatenate(blocks, axis=0), colw, mix_mode,
+                        bilinear,
+                    )
+                    C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
+                rl_s = r_lo_loc[s:s + 1]
+                if bilinear:
+                    rh_s = r_hi_loc[s:s + 1]
+                    fr_s = fr[s:s + 1]
+                    roww = jnp.where(iota_h == rl_s, 1.0 - fr_s, 0.0) + jnp.where(
+                        iota_h == rh_s, fr_s, 0.0
+                    )
+                else:
+                    roww = jnp.where(iota_h == rl_s, 1.0, 0.0)
+                for ch in range(CH):
+                    samp_rows[ch].append(
+                        jnp.sum(C_ch[ch] * roww, axis=0, keepdims=True)
+                    )
+            i1w = jnp.concatenate(samp_rows[0], axis=0)  # (S, NT)
+            gxw = jnp.concatenate(samp_rows[1], axis=0)
+            gyw = jnp.concatenate(samp_rows[2], axis=0)
+            if esm:
+                # ESM: average warped-target and hoisted source gradients
+                # (geom rows 4/5, ops/fused.py pack_geometry)
+                if n_tiles == 1:
+                    sgx = geom_ref[4 * S:5 * S, :]
+                    sgy = geom_ref[5 * S:6 * S, :]
+                else:
+                    sgx = geom_ref[4 * S:5 * S, pl.ds(off, NT)]
+                    sgy = geom_ref[5 * S:6 * S, pl.ds(off, NT)]
+                gxw = 0.5 * (gxw + sgx)
+                gyw = 0.5 * (gyw + sgy)
+
+            validf = valid.astype(jnp.float32)
+            resid = (i1w - i0) * validf
+            if robust_loss == "none":
+                s_int = validf
+                r_w = resid
+            else:
+                s_int = validf * robust_sqrt_weight(
+                    resid, robust_loss, robust_delta
+                )
+                r_w = resid * s_int
+            cols = [
+                (gxw * Ju0) * s_int,
+                (gyw * Jv1) * s_int,
+                (gxw * Ju2 + gyw * Jv2) * s_int,
+                (gxw * Ju3 + gyw * Jv3) * s_int,
+                (gxw * Ju4 + gyw * Jv4) * s_int,
+                (gxw * Ju5 + gyw * Jv5) * s_int,
+            ]
+
+            def red(a, b):
+                return jnp.sum(a * b, axis=1, keepdims=True)  # (S, 1)
+
+            A_t = [[None] * 6 for _ in range(6)]
+            for i in range(6):
+                for j in range(i, 6):
+                    A_t[i][j] = red(cols[i], cols[j])
+                    if j != i:
+                        A_t[j][i] = A_t[i][j]
+            b_t = [red(cols[i], r_w) for i in range(6)]
+            cost_t = red(r_w, r_w)
+            nval_t = jnp.sum(validf, axis=1, keepdims=True)
+            return A_t, b_t, cost_t, nval_t, masked_t
+
+        if n_tiles == 1:
+            return tile_entries(0)
+
+        def acc_tile(t, acc):
+            A_a, b_a, c_a, n_a, m_a = acc
+            A_t, b_t, c_t, n_t, m_t = tile_entries(t)
+            A_n = [
+                [A_a[i][j] + A_t[i][j] for j in range(6)] for i in range(6)
+            ]
+            b_n = [b_a[i] + b_t[i] for i in range(6)]
+            return A_n, b_n, c_a + c_t, n_a + n_t, m_a + m_t
+
+        zeros = jnp.zeros((S, 1), jnp.float32)
+        init = (
+            [[zeros] * 6 for _ in range(6)],
+            [zeros] * 6,
+            zeros, zeros, zeros,
+        )
+        return jax.lax.fori_loop(0, n_tiles, acc_tile, init)
+
+    def active(it, gnorm):
+        return (it < max_iterations) & (gnorm >= min_gradient_norm)
+
+    def cond(carry):
+        return jnp.any(active(carry[6], carry[7]))
+
+    def body(carry):
+        s = carry[:6]
+        it, gnorm, cost_c, nval_c, mask_c = carry[6:11]
+        act = active(it, gnorm)
+        A, b, cost, nvalid, masked = linearize(*s)
+        xs = _chol_solve6(A, b)  # vectorized: every entry is (S, 1)
+        finite = jnp.isfinite(xs[0])
+        for k in range(1, 6):
+            finite = finite & jnp.isfinite(xs[k])
+        upd = act & finite
+        new_s = tuple(
+            jnp.where(upd, s[k] - lambda_step * xs[k], s[k]) for k in range(6)
+        )
+        gnorm_new = jnp.sqrt(sum(b[k] * b[k] for k in range(6)))
+        actf = act.astype(jnp.float32)
+        return new_s + (
+            it + actf,
+            jnp.where(act, gnorm_new, gnorm),
+            jnp.where(act, cost, cost_c),
+            jnp.where(act, nvalid, nval_c),
+            jnp.where(act, jnp.maximum(mask_c, masked), mask_c),
+        )
+
+    s_init = tuple(states_ref[:, k:k + 1] for k in range(6))
+    # init vectors derived from a VMEM read, not a splat constant: Mosaic
+    # pins the while_loop carry layout to the init's, and a splat's
+    # replicated layout cannot absorb the body's concrete one
+    zero = states_ref[:, 6:7] * 0.0
+    init = s_init + (
+        zero, zero + jnp.float32(jnp.inf), zero, zero, zero,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    state_cols = list(final[:6]) + [zero, zero]
+    state_out_ref[:, :] = jnp.concatenate(state_cols, axis=1)
+    g = final[7]
+    diag_cols = [
+        final[6],
+        jnp.where(jnp.isfinite(g), g, zero),
+        final[8],
+        final[9],
+        final[10],
+        zero, zero, zero,
+    ]
+    diag_out_ref[:, :] = jnp.concatenate(diag_cols, axis=1)
+
+
+def fused_gn_level_batch(
+    i0_flat,  # (B, NP) padded source intensity rows
+    geom,  # (B, GR, NP) per-pair geometry packs (pack_geometry)
+    t_all,  # (B, 3*HP, W) per-pair channel-major target stacks
+    intr,
+    init_states,  # (B, 6)
+    min_depth,
+    max_depth,
+    max_iterations: int,
+    min_gradient_norm: float,
+    lambda_step: float,
+    *,
+    H: int,
+    W: int,
+    sampling: str = "nearest",
+    interpret: bool = False,
+    mix_mode: str = "f32",
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
+    esm: bool = False,
+    streams: int | None = None,
+):
+    """Run ONE whole GN pyramid level for B independent pairs, S pairs per
+    grid block (sublane-batched kernel above).  B is padded to a multiple
+    of S by repeating the first pair; padded outputs are dropped.
+
+    Returns (states (B, 6), iterations (B,), gradient_norm (B,), cost (B,),
+    num_valid (B,), band_masked (B,)) — per-pair semantics identical to
+    ops/fused.py fused_gn_level_packs.
+    """
+    B = i0_flat.shape[0]
+    NP, _ = _pick_tile_pixels(H, W)
+    GR = 6 if esm else 4
+    HP = _ceil8(H)
+    tiling = _batch_tilings(H, W, esm)
+    if tiling is None:
+        raise ValueError(
+            f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
+            "kernel (ops/fused.py fused_gn_level_packs)"
+        )
+    S, NT = tiling
+    if streams:
+        S = streams
+    NB = -(-B // S)
+    pad = NB * S - B
+    if pad:
+        def _pad(a):
+            return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+
+        i0_flat = _pad(i0_flat)
+        geom = _pad(geom)
+        t_all = _pad(t_all)
+        init_states = _pad(jnp.asarray(init_states, jnp.float32))
+
+    # kernel layouts: i0 (NB*S, NP); geom TYPE-major per block
+    # (NB*GR*S, NP) rows [blk, t, s]; t_all STREAM-major (NB*S*3HP, W)
+    i0_k = i0_flat.reshape(NB * S, NP)
+    geom_k = (
+        jnp.asarray(geom)
+        .reshape(NB, S, GR, NP)
+        .transpose(0, 2, 1, 3)
+        .reshape(NB * GR * S, NP)
+    )
+    t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, W)
+    st_k = jnp.concatenate(
+        [
+            jnp.asarray(init_states, jnp.float32).reshape(NB * S, 6),
+            jnp.zeros((NB * S, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+
+    kernel = functools.partial(
+        _fused_gn_batch_kernel,
+        S=S, H=H, W=W, NT=NT, NP=NP,
+        bilinear=(sampling == "bilinear"),
+        max_iterations=float(max_iterations),
+        min_gradient_norm=float(min_gradient_norm),
+        lambda_step=float(lambda_step),
+        mix_mode=mix_mode, robust_loss=robust_loss,
+        robust_delta=float(robust_delta), esm=esm,
+    )
+    grid = (NB,)
+    # the block working set is deliberately larger than the default 16 MB
+    # scoped-vmem limit (v5e VMEM is larger; the budget above is calibrated
+    # on-device) — raise the per-kernel limit to match the plan
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(_VMEM_BUDGET, 16 * 1024 * 1024)
+    )
+    state_out, diag = pl.pallas_call(
+        kernel,
+        grid=grid,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (GR * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S * 3 * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NB * S, 8), jnp.float32),
+            jax.ShapeDtypeStruct((NB * S, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(st_k, const, i0_k, geom_k, t_k)
+    return (
+        state_out[:B, :6],
+        diag[:B, 0].astype(jnp.int32),
+        diag[:B, 1],
+        diag[:B, 2],
+        diag[:B, 3],
+        diag[:B, 4],
+    )

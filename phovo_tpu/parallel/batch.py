@@ -112,13 +112,82 @@ def align_sequences(
     integrate_trajectory), replacing the reference VO app's host-side
     running pose ∘= Rt⁻¹ loop (PhotoconsistencyVisualOdometry.cpp:233-234).
     """
-    in_axes_intr = Intrinsics(*(0 if jnp.ndim(v) > 0 else None for v in intr))
-    res = jax.vmap(
-        lambda I, D, it: align_sequence(I, D, it, config, use_fused, warm_start),
-        in_axes=(0, 0, in_axes_intr),
-    )(intensities, depths, intr)
+    from phovo_tpu.models.analytic import levelmajor_eligible
+
+    # level-major flattens streams into one batch — correct and fastest on
+    # one device; on a multi-device mesh the vmap path keeps each stream's
+    # scan device-local (zero cross-device traffic), so prefer it there
+    shared_rig = all(jnp.ndim(v) == 0 for v in intr)
+    if shared_rig and jax.device_count() == 1 and levelmajor_eligible(
+        config, intensities.shape[2:], use_fused, warm_start
+    ):
+        # zero-init pairs are independent ACROSS streams too: flatten all
+        # S*(T-1) pairs into one level-major batch (the whole fleet's
+        # coarsest levels advance in one sublane-batched kernel) instead of
+        # vmapping per-stream scans — the serving-throughput fast path
+        res = align_sequences_levelmajor(intensities, depths, intr, config)
+    else:
+        in_axes_intr = Intrinsics(
+            *(0 if jnp.ndim(v) > 0 else None for v in intr)
+        )
+        res = jax.vmap(
+            lambda I, D, it: align_sequence(
+                I, D, it, config, use_fused, warm_start
+            ),
+            in_axes=(0, 0, in_axes_intr),
+        )(intensities, depths, intr)
     poses = jax.vmap(se3.integrate_trajectory)(res.state)
     return res, poses
+
+
+def align_sequences_levelmajor(
+    intensities: jax.Array,  # (S, T, H, W)
+    depths: jax.Array,  # (S, T, H, W)
+    intr: Intrinsics,  # scalars (shared rig)
+    config: PhovoConfig,
+    interpret: bool = False,
+):
+    """All S streams' T-1 pairs as ONE level-major batch.
+
+    Under zero-init semantics every pair of every stream is independent, so
+    the whole fleet's S*(T-1) alignments advance level-by-level through the
+    sublane-batched kernel (models/analytic.align_pairs_levelmajor) — the
+    per-iteration overhead amortizes across the full fleet, not just one
+    stream's chunk.  Per-frame prep runs once per frame (each interior
+    frame serves as a pair's target and the next pair's source).
+
+    Returns a batched AlignmentResult with leading dims (S, T-1).
+    """
+    from phovo_tpu.models.analytic import (
+        align_pairs_levelmajor,
+        prep_frame_analytic,
+    )
+    from phovo_tpu.models.base import device_unit_intensity
+
+    S, T = intensities.shape[:2]
+    shape = intensities.shape[2:]
+    flat_i = device_unit_intensity(intensities).astype(jnp.float32).reshape(
+        S * T, *shape
+    )
+    flat_d = jnp.asarray(depths, jnp.float32).reshape(S * T, *shape)
+    prep = jax.vmap(
+        lambda i, d: prep_frame_analytic(i, d, intr, config)
+    )(flat_i, flat_d)
+    B = S * (T - 1)
+    prep_pairs = {}
+    for level, (i0f, geom, t_all) in prep.items():
+        i0s = i0f.reshape(S, T, *i0f.shape[1:])[:, :-1, 0, :].reshape(B, -1)
+        geoms = geom.reshape(S, T, *geom.shape[1:])[:, :-1].reshape(
+            B, *geom.shape[1:]
+        )
+        ts = t_all.reshape(S, T, *t_all.shape[1:])[:, 1:].reshape(
+            B, *t_all.shape[1:]
+        )
+        prep_pairs[level] = (i0s, geoms, ts)
+    res = align_pairs_levelmajor(prep_pairs, shape, intr, config, interpret)
+    return jax.tree.map(
+        lambda a: a.reshape(S, T - 1, *a.shape[1:]), res
+    )
 
 
 @functools.partial(

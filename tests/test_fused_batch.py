@@ -1,0 +1,147 @@
+"""Sublane-batched whole-level kernel vs the per-pair kernel.
+
+The batched kernel (ops/fused_batch.py) must reproduce the per-pair
+whole-level kernel (ops/fused.py fused_gn_level_packs) per pair: same
+math, only the normal-equation reduction order differs (lane reductions
+vs MXU Gram), so states agree at the f32 reassociation level.  Validated
+here in interpreter mode; the on-device equivalents are in the `-m tpu`
+suite (test_tpu_device.py::test_batched_level_kernel_on_device and the
+level-major sequence test).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phovo_tpu.ops import fused as F
+from phovo_tpu.ops import pyramid as pyr
+from phovo_tpu.ops.fused_batch import _batch_tilings, fused_gn_level_batch
+from phovo_tpu.utils.synthetic import make_pair
+
+if not F._HAS_PALLAS:  # pragma: no cover
+    pytest.skip("pallas unavailable", allow_module_level=True)
+
+
+def _chain_packs(intr, level, n_frames, esm=False, shape=(120, 160)):
+    """Per-frame packs for a synthetic frame chain at one pyramid level."""
+    frames = []
+    for k in range(n_frames):
+        st = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=shape, state=st)
+        if k == 0:
+            frames.append((I0, D0))
+        frames.append((I1, D1))
+    frames = frames[:n_frames]
+    packs = []
+    Hl = Wl = None
+    for I, D in frames:
+        ip = pyr.build_pyramid(jnp.asarray(I, jnp.float32), level + 1, (0,) * (level + 1))
+        dp = pyr.build_pyramid(jnp.asarray(D, jnp.float32), level + 1, None)
+        gx, gy = pyr.build_gradient_pyramid(ip, (0.0625,) * (level + 1))
+        Hl, Wl = ip[level].shape
+        NP, _ = F._pick_tile_pixels(Hl, Wl)
+        i0f = F._pad_flat(ip[level].reshape(1, Hl * Wl), NP)
+        geom = F.pack_geometry(
+            dp[level], intr.at_level(level), 0.3, 5.0, NP,
+            (gx[level], gy[level]) if esm else None,
+        )
+        t = F.pack_target_colmajor(ip[level], gx[level], gy[level])
+        packs.append((i0f, geom, t))
+    return packs, Hl, Wl
+
+
+@pytest.mark.parametrize(
+    "level,sampling,robust,esm",
+    [
+        (1, "nearest", "none", False),
+        (1, "bilinear", "none", False),
+        (0, "nearest", "none", False),  # multi-tile level (120x160)
+        (2, "nearest", "none", False),  # unbanded coarse level (30x40)
+        (1, "nearest", "huber", False),
+        (1, "nearest", "none", True),  # ESM Jacobian
+    ],
+)
+def test_batch_kernel_matches_per_pair(intr, level, sampling, robust, esm):
+    B = 5
+    packs, Hl, Wl = _chain_packs(intr, level, B + 1, esm=esm)
+    its = 3
+    kw = dict(
+        sampling=sampling, interpret=True, mix_mode="f32",
+        robust_loss=robust, robust_delta=0.1, esm=esm,
+    )
+    intr_l = intr.at_level(level)
+
+    ref_states, ref_diags = [], []
+    for k in range(B):
+        i0f, geom, _ = packs[k]
+        _, _, t = packs[k + 1]
+        out = F.fused_gn_level_packs(
+            i0f, geom, t, intr_l, jnp.zeros(6), 0.3, 5.0, its, 0.0, 1.0,
+            H=Hl, W=Wl, **kw,
+        )
+        ref_states.append(np.asarray(out[0]))
+        ref_diags.append([np.asarray(o) for o in out[1:]])
+
+    i0b = jnp.concatenate([packs[k][0] for k in range(B)], axis=0)
+    geomb = jnp.stack([packs[k][1] for k in range(B)], axis=0)
+    tb = jnp.stack([packs[k + 1][2] for k in range(B)], axis=0)
+    # streams=2 also exercises the padding path (B=5 -> NB=3, one pad pair)
+    out = fused_gn_level_batch(
+        i0b, geomb, tb, intr_l, jnp.zeros((B, 6)), 0.3, 5.0, its, 0.0, 1.0,
+        H=Hl, W=Wl, streams=2, **kw,
+    )
+    states = np.asarray(out[0])
+    for k in range(B):
+        np.testing.assert_allclose(
+            states[k], ref_states[k], atol=2e-4,
+            err_msg=f"pair {k} state",
+        )
+        assert int(np.asarray(out[1])[k]) == int(ref_diags[k][0])
+        np.testing.assert_allclose(
+            float(np.asarray(out[4])[k]), float(ref_diags[k][3]), atol=0.5,
+            err_msg=f"pair {k} num_valid",
+        )
+
+
+def test_batch_kernel_early_exit_freezes_converged(intr):
+    """With a high gradient-norm threshold, pairs freeze independently and
+    the reported iteration counts match the per-pair kernel's."""
+    B = 3
+    packs, Hl, Wl = _chain_packs(intr, 1, B + 1)
+    intr_l = intr.at_level(1)
+    thresh = 50.0
+    its = 10
+    ref = []
+    for k in range(B):
+        out = F.fused_gn_level_packs(
+            packs[k][0], packs[k][1], packs[k + 1][2], intr_l,
+            jnp.zeros(6), 0.3, 5.0, its, thresh, 1.0,
+            H=Hl, W=Wl, sampling="nearest", interpret=True, mix_mode="f32",
+        )
+        ref.append((np.asarray(out[0]), int(out[1])))
+    outb = fused_gn_level_batch(
+        jnp.concatenate([packs[k][0] for k in range(B)], axis=0),
+        jnp.stack([packs[k][1] for k in range(B)], axis=0),
+        jnp.stack([packs[k + 1][2] for k in range(B)], axis=0),
+        intr_l, jnp.zeros((B, 6)), 0.3, 5.0, its, thresh, 1.0,
+        H=Hl, W=Wl, sampling="nearest", interpret=True, mix_mode="f32",
+        streams=3,
+    )
+    for k in range(B):
+        assert int(np.asarray(outb[1])[k]) == ref[k][1], f"pair {k} iterations"
+        np.testing.assert_allclose(
+            np.asarray(outb[0])[k], ref[k][0], atol=2e-4
+        )
+
+
+def test_batch_tilings_shapes():
+    """Tiling picker: sublane-multiple S, NT divides NP, VMEM-infeasible
+    shapes return None."""
+    for H, W in [(30, 40), (60, 80), (120, 160)]:
+        t = _batch_tilings(H, W)
+        assert t is not None
+        S, NT = t
+        assert S % 8 == 0
+        NP, _ = F._pick_tile_pixels(H, W)
+        assert NP % NT == 0
+    assert _batch_tilings(480, 640) is None  # VGA level 0 cannot fit S=8

@@ -302,3 +302,98 @@ def test_band_fallback_improves_fast_rotation_trajectory():
     # the masked run had any real error to recover)
     assert err_on <= err_off + 1e-6, (err_on, err_off)
     assert err_on < 0.05, err_on
+
+
+def test_batched_level_kernel_on_device(dev_pair):
+    """Sublane-batched whole-level kernel (ops/fused_batch.py) vs the
+    per-pair kernel, real Mosaic lowering: per-pair state agreement at the
+    lane-reduction reassociation level."""
+    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+
+    intr, I0, D0, I1, D1, gt = dev_pair
+    H, W = I0.shape
+    NP, _ = F._pick_tile_pixels(H, W)
+    gx, gy = _grads(I1)
+    gx0, gy0 = _grads(I0)
+    frames = [(I0, D0, gx0, gy0), (I1, D1, gx, gy)]
+    packs = []
+    for I, D, gxk, gyk in frames:
+        i0f = F._pad_flat(I.reshape(1, H * W), NP)
+        geom = F.pack_geometry(D, intr, 0.3, 5.0, NP)
+        t = F.pack_target_colmajor(I, gxk, gyk)
+        packs.append((i0f, geom, t))
+    B = 8  # pairs alternate 0->1, 1->0
+    srcs = [packs[k % 2] for k in range(B)]
+    tgts = [packs[(k + 1) % 2] for k in range(B)]
+
+    ref = []
+    for k in range(2):
+        out = jax.block_until_ready(F.fused_gn_level_packs(
+            srcs[k][0], srcs[k][1], tgts[k][2], intr, jnp.zeros(6),
+            0.3, 5.0, 6, 0.0, 1.0, H=H, W=W, sampling="nearest",
+            mix_mode="f32",
+        ))
+        ref.append(np.asarray(out[0]))
+    outb = jax.block_until_ready(fused_gn_level_batch(
+        jnp.concatenate([s[0] for s in srcs], axis=0),
+        jnp.stack([s[1] for s in srcs], axis=0),
+        jnp.stack([t[2] for t in tgts], axis=0),
+        intr, jnp.zeros((B, 6)), 0.3, 5.0, 6, 0.0, 1.0,
+        H=H, W=W, sampling="nearest", mix_mode="f32",
+    ))
+    states = np.asarray(outb[0])
+    for k in range(B):
+        np.testing.assert_allclose(
+            states[k], ref[k % 2], atol=5e-4, err_msg=f"pair {k}"
+        )
+
+
+def test_level_major_sequence_matches_prepped_on_device():
+    """align_sequence_levelmajor == align_sequence_prepped per pair (the
+    production headline path vs the serial scan it replaces)."""
+    from phovo_tpu.models.analytic import (
+        align_sequence_levelmajor,
+        align_sequence_prepped,
+    )
+    from phovo_tpu.utils.config import PhovoConfig
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    cfg = PhovoConfig(
+        num_levels=3,
+        blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.0625,) * 3,
+        max_iterations=(2, 5, 8),
+        lambda_steps=(1.0,) * 3,
+        min_gradient_norms=(0.0,) * 3,
+        sampling="nearest",
+        mix_mode="bf16x2g",
+    )
+    frames_i, frames_d = [], []
+    for k in range(7):
+        st = np.array([0.012, -0.006, 0.01, 0.005, -0.004, 0.003]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=(128, 160), state=st)
+        if k == 0:
+            frames_i.append(I0)
+            frames_d.append(D0)
+        frames_i.append(I1)
+        frames_d.append(D1)
+    Is = jnp.asarray(np.stack(frames_i))
+    Ds = jnp.asarray(np.stack(frames_d))
+    lm = jax.block_until_ready(
+        align_sequence_levelmajor(Is, Ds, intr, cfg)
+    )
+    pp = jax.block_until_ready(
+        align_sequence_prepped(Is, Ds, intr, cfg)
+    )
+    # bf16x2g + 15 lockstep iterations: reassociation-level agreement
+    np.testing.assert_allclose(
+        np.asarray(lm.state), np.asarray(pp.state), atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm.iterations), np.asarray(pp.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm.num_valid), np.asarray(pp.num_valid), atol=1.0
+    )
