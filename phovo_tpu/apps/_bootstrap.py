@@ -17,6 +17,15 @@ def enable_compilation_cache() -> None:
         return
     import jax
 
+    # CPU backend: LoadedExecutable.serialize() C-aborts for some CPU
+    # executables in this jax build, and a write aborted mid-entry leaves a
+    # corrupt cache file that later SEGFAULTS readers of the same key
+    # (observed deterministically in the test suite once a CLI test flipped
+    # the cache on mid-run).  CPU compiles are fast; the cache exists for
+    # the tens-of-seconds TPU compiles.
+    if jax.default_backend() == "cpu":
+        return
+
     cache_dir = os.environ.get(
         "PHOVO_COMPILE_CACHE",
         os.path.join(

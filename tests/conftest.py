@@ -52,10 +52,33 @@ def pytest_collection_modifyitems(config, items):
 # Persistent compilation cache: the alignment graphs (multi-level pyramids +
 # while_loop solvers) are expensive to compile on the CPU backend; caching
 # makes repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: TPU mode only.  On the CPU backend,
+# LoadedExecutable.serialize() C-aborts for some executables in this jax
+# build (jax/_src/compilation_cache.py put_executable_and_time), and the
+# write path only triggers when a compile exceeds the 0.5 s threshold —
+# which in a full-suite run it eventually does (the abort reproduced
+# deterministically at test_robust's tdist align).  CPU tests gain little
+# from the cache; the TPU bench/e2e tools keep it.
+if TPU_MODE:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phovo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from phovo_tpu.ops.camera import Intrinsics  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    This jax build's CPU backend segfaults in backend_compile_and_load
+    after a few hundred compiled programs accumulate in one process
+    (reproduced deterministically-by-position across full-suite runs at
+    HEAD, at different tests depending on compile order; never in
+    subsets).  Dropping the jit caches between modules keeps the live
+    executable count bounded; the cost is re-compiling the handful of
+    cross-module shared programs."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
