@@ -120,6 +120,128 @@ def align_ic(
     )
 
 
+def ic_levelmajor_eligible(
+    config: PhovoConfig, shape, use_fused: bool, warm_start: bool
+) -> bool:
+    """Gating for the IC level-major path: reference zero-init semantics,
+    Pallas on TPU, per-level VMEM-fitting IC batch tiling
+    (ops/ic_batch.py)."""
+    import os
+
+    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+        return False
+    if warm_start or not (
+        use_fused and ic_ops._HAS_PALLAS and jax.default_backend() == "tpu"
+    ):
+        return False
+    from phovo_tpu.ops.ic_batch import _ic_batch_tilings
+
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if h > fused_ops.FUSED_MAX_H or _ic_batch_tilings(h, w) is None:
+            return False
+    return True
+
+
+def prep_frame_ic(
+    intensity: jax.Array,  # (H, W) float32 0..1
+    depth: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+) -> dict:
+    """Per-frame products for the IC level-major path, per ACTIVE level:
+    (geom (3, NP), J8 (8, NP), L (1, 36), t_pad (HP, W)).
+
+    A frame is a pair's TARGET (needs only its padded intensity) and the
+    next pair's SOURCE (needs the precomputed Jacobian system); computing
+    both once per frame, batched, keeps the serial chain free of prep —
+    the IC analog of models/analytic.py prep_frame_analytic."""
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    int_p = pyr.build_pyramid(intensity, L, blur, blur_type=config.blur_type)
+    dep_p = pyr.build_pyramid(depth, L, None)
+    gx, gy = pyr.build_gradient_pyramid(int_p, tuple(config.gradient_scales))
+    out = {}
+    for level in range(L):
+        if config.max_iterations[level] <= 0:
+            continue
+        H, W = int_p[level].shape
+        NP, _ = fused_ops._pick_tile_pixels(H, W)
+        intr_l = intr.at_level(level)
+        J8, Lrow = ic_ops.ic_precompute_pallas(
+            int_p[level], dep_p[level], gx[level], gy[level], intr_l,
+            config.min_depth, config.max_depth,
+        )
+        geom = fused_ops.pack_geometry(
+            dep_p[level], intr_l, 0.0, float("inf"), NP, include_valid=False
+        )
+        t_pad = ic_ops._pad_rows8(int_p[level])
+        out[level] = (geom, J8, Lrow, t_pad)
+    return out
+
+
+def align_sequence_ic_levelmajor(
+    intensities: jax.Array,  # (B+1, H, W)
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """align_sequence_ic re-ordered LEVEL-major through the sublane-batched
+    IC kernel (ops/ic_batch.py): all B pairs' coarsest levels advance in
+    lockstep, poses carried in matrix form between levels, one Euler
+    extraction per pair at the end (se3.matrix_to_state, outside Pallas)."""
+    from phovo_tpu.ops.ic_batch import ic_gn_level_batch
+
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    B = intensities.shape[0] - 1
+    prep = jax.vmap(
+        lambda i, d: prep_frame_ic(i, d, intr, config)
+    )(intensities, depths)
+
+    L = config.num_levels
+    Ts = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        geom, J8, Lrow, t_pad = prep[level]
+        Ts, its, gnorm, cost, nvalid, masked = ic_gn_level_batch(
+            Ts,
+            geom[:-1],  # sources = frames 0..B-1
+            J8[:-1],
+            Lrow[:-1, 0, :],  # (B, 36)
+            t_pad[1:],  # targets = frames 1..B
+            intr.at_level(level),
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            H=H, W=W, sampling=config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode,
+        )
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    states = jax.vmap(se3.matrix_to_state)(Ts).astype(jnp.float32)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("config", "use_fused", "warm_start"))
 def align_sequence_ic(
     intensities: jax.Array,
@@ -130,7 +252,15 @@ def align_sequence_ic(
     warm_start: bool = False,
 ) -> AlignmentResult:
     """lax.scan over consecutive pairs with the IC aligner (see
-    models/analytic.py align_sequence for the pipeline rationale)."""
+    models/analytic.py align_sequence for the pipeline rationale); under
+    zero-init semantics the LEVEL-major sublane-batched path applies
+    (align_sequence_ic_levelmajor)."""
+    if config.robust_loss == "none" and ic_levelmajor_eligible(
+        config, intensities.shape[1:], use_fused, warm_start
+    ):
+        return align_sequence_ic_levelmajor(intensities, depths, intr, config)
+    # (robust configs reach align_ic below, which raises the loud
+    # unsupported-robust_loss error for this backend)
     pairs = (intensities[:-1], depths[:-1], intensities[1:], depths[1:])
 
     def step(carry, pair):

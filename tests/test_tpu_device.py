@@ -397,3 +397,92 @@ def test_level_major_sequence_matches_prepped_on_device():
     np.testing.assert_allclose(
         np.asarray(lm.num_valid), np.asarray(pp.num_valid), atol=1.0
     )
+
+
+def test_ic_batched_level_on_device(dev_pair):
+    """Sublane-batched IC kernel (ops/ic_batch.py) vs per-pair IC kernel on
+    real Mosaic lowering."""
+    from phovo_tpu.ops import ic as IC
+    from phovo_tpu.ops.ic_batch import ic_gn_level_batch
+
+    intr, I0, D0, I1, D1, gt = dev_pair
+    H, W = I0.shape
+    NP, _ = F._pick_tile_pixels(H, W)
+    packs = []
+    for I, D in ((I0, D0), (I1, D1)):
+        gx, gy = _grads(I)
+        J8, L = IC.ic_precompute_pallas(I, D, gx, gy, intr, 0.3, 5.0)
+        geom = F.pack_geometry(
+            D, intr, 0.0, float("inf"), NP, include_valid=False
+        )
+        packs.append((geom, J8, L, IC._pad_rows8(I), D))
+    B = 8
+    srcs = [packs[k % 2] for k in range(B)]
+    tgts = [packs[(k + 1) % 2] for k in range(B)]
+    refs = []
+    for k in range(2):
+        out = jax.block_until_ready(IC.ic_gn_level(
+            jnp.eye(4), srcs[k][4], srcs[k][1], srcs[k][2], tgts[k][3][:H],
+            intr, 6, 0.0, 1.0, "nearest", mix_mode="f32",
+        ))
+        refs.append(np.asarray(out[0]))
+    outb = jax.block_until_ready(ic_gn_level_batch(
+        jnp.tile(jnp.eye(4), (B, 1, 1)),
+        jnp.stack([s[0] for s in srcs]),
+        jnp.stack([s[1] for s in srcs]),
+        jnp.stack([s[2][0] for s in srcs]),
+        jnp.stack([t[3] for t in tgts]),
+        intr, 6, 0.0, 1.0,
+        H=H, W=W, sampling="nearest", mix_mode="f32",
+    ))
+    for k in range(B):
+        np.testing.assert_allclose(
+            np.asarray(outb[0])[k], refs[k % 2], atol=5e-4,
+            err_msg=f"pair {k}",
+        )
+
+
+def test_ic_level_major_sequence_matches_scan_on_device():
+    """align_sequence_ic level-major == the per-pair scan path per pair."""
+    import os
+
+    from phovo_tpu.models.ic import align_sequence_ic
+    from phovo_tpu.utils.config import PhovoConfig
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    cfg = PhovoConfig(
+        num_levels=3,
+        blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.03125,) * 3,
+        max_iterations=(2, 5, 8),
+        lambda_steps=(1.0,) * 3,
+        min_gradient_norms=(0.0,) * 3,
+        sampling="nearest",
+        mix_mode="bf16x2g",
+    )
+    frames_i, frames_d = [], []
+    for k in range(6):
+        st = np.array([0.012, -0.006, 0.01, 0.005, -0.004, 0.003]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=(128, 160), state=st)
+        if k == 0:
+            frames_i.append(I0)
+            frames_d.append(D0)
+        frames_i.append(I1)
+        frames_d.append(D1)
+    Is = jnp.asarray(np.stack(frames_i))
+    Ds = jnp.asarray(np.stack(frames_d))
+    lm = jax.block_until_ready(align_sequence_ic(Is, Ds, intr, cfg))
+    os.environ["PHOVO_LEVELMAJOR"] = "0"
+    try:
+        jax.clear_caches()
+        scan = jax.block_until_ready(align_sequence_ic(Is, Ds, intr, cfg))
+    finally:
+        os.environ.pop("PHOVO_LEVELMAJOR", None)
+    np.testing.assert_allclose(
+        np.asarray(lm.state), np.asarray(scan.state), atol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm.iterations), np.asarray(scan.iterations)
+    )
