@@ -155,6 +155,142 @@ def align_biobjective(
     )
 
 
+def bi_levelmajor_eligible(
+    config: PhovoConfig, shape, use_fused: bool, warm_start: bool
+) -> bool:
+    """Gating for the bi-objective level-major path (the analytic gating
+    plus a bi-size VMEM tiling — six target channels per stream)."""
+    import os
+
+    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+        return False
+    if warm_start or config.gradient_at != "warped":
+        return False
+    if config.robust_loss == "tdist":
+        return False
+    if not (
+        use_fused
+        and fused_ops._HAS_PALLAS
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    from phovo_tpu.ops.fused_batch import _batch_tilings
+
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if h > fused_ops.FUSED_MAX_H or _batch_tilings(h, w, bi=True) is None:
+            return False
+    return True
+
+
+def prep_frame_biobjective(
+    intensity: jax.Array,  # (H, W) float32 0..1
+    depth: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+) -> dict:
+    """Per-frame products for the bi-objective level-major path, per ACTIVE
+    level: (i0 (1, NP), geom (4, NP), t6 (6*HP, W) six-channel target
+    stack, gain (scalar mean(I1)/mean(D1), …BiObjective.h:299))."""
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    scales = tuple(config.gradient_scales)
+    int_p = pyr.build_pyramid(intensity, L, blur, blur_type=config.blur_type)
+    dep_p = pyr.build_pyramid(depth, L, None)
+    gx, gy = pyr.build_gradient_pyramid(int_p, scales)
+    dep_norm = [d * (1.0 / config.max_depth) for d in dep_p]
+    dgx, dgy = pyr.build_gradient_pyramid(dep_norm, scales)
+    out = {}
+    for level in range(L):
+        if config.max_iterations[level] <= 0:
+            continue
+        H, W = int_p[level].shape
+        NP, _ = fused_ops._pick_tile_pixels(H, W)
+        i0f = fused_ops._pad_flat(int_p[level].reshape(1, H * W), NP)
+        geom = fused_ops.pack_geometry(
+            dep_p[level], intr.at_level(level), config.min_depth,
+            config.max_depth, NP,
+        )
+        t6 = jnp.concatenate(
+            [
+                fused_ops.pack_target_colmajor(
+                    int_p[level], gx[level], gy[level]
+                ),
+            ]
+            + [
+                fused_ops._pad_channel_rows(c)
+                for c in (dep_p[level], dgx[level], dgy[level])
+            ],
+            axis=0,
+        )  # (6*HP, W)
+        gain = jnp.mean(int_p[level]) / jnp.mean(dep_p[level])
+        out[level] = (i0f, geom, t6, gain)
+    return out
+
+
+def align_sequence_biobjective_levelmajor(
+    intensities: jax.Array,  # (B+1, H, W)
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """Bi-objective sequence re-ordered LEVEL-major through the
+    sublane-batched kernel (ops/fused_batch.py bi mode): all B pairs'
+    coarsest levels advance in lockstep, per-pair depth gains riding in
+    the kernel's state rows."""
+    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    B = intensities.shape[0] - 1
+    prep = jax.vmap(
+        lambda i, d: prep_frame_biobjective(i, d, intr, config)
+    )(intensities, depths)
+
+    L = config.num_levels
+    states = jnp.zeros((B, 6), jnp.float32)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        i0f, geom, t6, gains = prep[level]
+        st, its, gnorm, cost, nvalid, masked = fused_gn_level_batch(
+            i0f[:-1, 0, :],
+            geom[:-1],
+            t6[1:],
+            intr.at_level(level), states,
+            config.min_depth, config.max_depth,
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            H=H, W=W, sampling=config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta,
+            depth_gains=gains[1:],  # gain comes from the TARGET frame
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "use_fused", "warm_start")
 )
@@ -168,7 +304,14 @@ def align_sequence_biobjective(
 ) -> AlignmentResult:
     """Buffered-segment bi-objective alignment: lax.scan over consecutive
     pairs (the intensity+depth backend's analog of analytic.align_sequence).
-    Unlike the photometric backends this one consumes the target depth."""
+    Unlike the photometric backends this one consumes the target depth.
+    Zero-init sequences take the LEVEL-major sublane-batched path."""
+    if bi_levelmajor_eligible(
+        config, intensities.shape[1:], use_fused, warm_start
+    ):
+        return align_sequence_biobjective_levelmajor(
+            intensities, depths, intr, config
+        )
     return sequence_scan(
         lambda si, sd, ti, td, init: align_biobjective(
             si, sd, ti, td, intr, init, config, use_fused

@@ -67,7 +67,7 @@ _VMEM_BUDGET = 27_000_000
 _LIVE_ROWS = 30  # conservative count of live (S, NT) temporaries
 
 
-def _batch_tilings(H: int, W: int, esm: bool = False):
+def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
     """(S, NT) for the sublane-batched kernel at an H x W level, or None.
 
     S must be a sublane multiple (Pallas block shapes need the second-to-
@@ -78,18 +78,20 @@ def _batch_tilings(H: int, W: int, esm: bool = False):
     """
     NP, NT_def = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
+    CH = 6 if bi else 3
     HP = _ceil8(H)
     nts = [
         t for t in range(128, NP + 1, 128)
         if NP % t == 0 and t <= NT_def
     ]
+    live = _LIVE_ROWS + (10 if bi else 0)  # depth block temporaries
     for S in (32, 16, 8):
-        inputs = 2 * 4 * S * (NP * (1 + GR) + 3 * HP * W)
+        inputs = 2 * 4 * S * (NP * (1 + GR) + CH * HP * W)
         if inputs > _VMEM_BUDGET:
             continue
         fitting = [
             t for t in nts
-            if inputs + 4 * (_LIVE_ROWS * S * t + (W + 2 * BAND_TARGET) * t)
+            if inputs + 4 * (live * S * t + (W + 2 * BAND_TARGET) * t)
             <= _VMEM_BUDGET
         ]
         if fitting:
@@ -126,6 +128,7 @@ def _fused_gn_batch_kernel(
     robust_loss="none",
     robust_delta=0.1,
     esm=False,
+    bi=False,
 ):
     """S whole GN levels advanced in lockstep, batch on the sublane axis.
 
@@ -134,7 +137,13 @@ def _fused_gn_batch_kernel(
     freezes (state and diagnostics stop updating — same per-pair semantics
     as _run_gn_loop); the loop runs until every pair froze or the shared
     iteration budget is spent.
-    """
+
+    bi=True: the bi-objective intensity+depth objective (reference
+    CPhotoconsistencyOdometryBiObjective.h:241-452) — t_all carries six
+    channels per stream, the per-pair depth gain rides in states slot 7,
+    and the intensity/depth normal-equation blocks are summed directly
+    (the per-pair kernel's 16x16 Gram block sum, re-associated as lane
+    reductions)."""
     fx = const_ref[0, 0]
     fy = const_ref[0, 1]
     cx = const_ref[0, 2]
@@ -143,7 +152,8 @@ def _fused_gn_batch_kernel(
     n_tiles = NP // NT
     tile_rows = max(1, NT // W)
     BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
-    CH = 3
+    CH = 6 if bi else 3
+    gain = states_ref[:, 7:8] if bi else None  # (S, 1), state-invariant
 
     def linearize(s0, s1, s2, s3, s4, s5):
         """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
@@ -290,7 +300,9 @@ def _fused_gn_batch_kernel(
                         for ch in range(CH)
                     ]
                 if mix_mode == "bf16x2g":
-                    C_ch = _split_sample(blocks, colw, bilinear, exact=(0,))
+                    C_ch = _split_sample(
+                        blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
+                    )
                 else:
                     C = mixed_col_dot(
                         jnp.concatenate(blocks, axis=0), colw, mix_mode,
@@ -343,6 +355,29 @@ def _fused_gn_batch_kernel(
                 (gxw * Ju4 + gyw * Jv4) * s_int,
                 (gxw * Ju5 + gyw * Jv5) * s_int,
             ]
+            if bi:
+                # depth block (…BiObjective.h:241-452; J_rt z-row is
+                # [0, 0, 1, 0, rp2, rr2] — dR/dyaw has zero 3rd row)
+                d1w = jnp.concatenate(samp_rows[3], axis=0)
+                dgxw = jnp.concatenate(samp_rows[4], axis=0)
+                dgyw = jnp.concatenate(samp_rows[5], axis=0)
+                r_dep = gain * (d1w - tz) * validf
+                if robust_loss == "none":
+                    s_dep = validf
+                    rd_w = r_dep
+                else:
+                    s_dep = validf * robust_sqrt_weight(
+                        r_dep, robust_loss, robust_delta
+                    )
+                    rd_w = r_dep * s_dep
+                dcols = [
+                    gain * (dgxw * Ju0) * s_dep,
+                    gain * (dgyw * Jv1) * s_dep,
+                    gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * s_dep,
+                    gain * (dgxw * Ju3 + dgyw * Jv3) * s_dep,
+                    gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * s_dep,
+                    gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * s_dep,
+                ]
 
             def red(a, b):
                 return jnp.sum(a * b, axis=1, keepdims=True)  # (S, 1)
@@ -351,10 +386,17 @@ def _fused_gn_batch_kernel(
             for i in range(6):
                 for j in range(i, 6):
                     A_t[i][j] = red(cols[i], cols[j])
+                    if bi:
+                        A_t[i][j] = A_t[i][j] + red(dcols[i], dcols[j])
                     if j != i:
                         A_t[j][i] = A_t[i][j]
             b_t = [red(cols[i], r_w) for i in range(6)]
             cost_t = red(r_w, r_w)
+            if bi:
+                b_t = [
+                    b_t[i] + red(dcols[i], rd_w) for i in range(6)
+                ]
+                cost_t = cost_t + red(rd_w, rd_w)
             nval_t = jnp.sum(validf, axis=1, keepdims=True)
             return A_t, b_t, cost_t, nval_t, masked_t
 
@@ -451,20 +493,29 @@ def fused_gn_level_batch(
     robust_delta: float = 0.1,
     esm: bool = False,
     streams: int | None = None,
+    depth_gains=None,  # (B,) per-pair depth gains -> bi-objective mode
 ):
     """Run ONE whole GN pyramid level for B independent pairs, S pairs per
     grid block (sublane-batched kernel above).  B is padded to a multiple
     of S by repeating the first pair; padded outputs are dropped.
 
+    depth_gains selects the bi-objective objective: t_all must then be the
+    six-channel (B, 6*HP, W) stack ([I1; gx; gy; D1; dgx; dgy] per pair,
+    ops/fused.py fused_gn_level's depth_cols layout).
+
     Returns (states (B, 6), iterations (B,), gradient_norm (B,), cost (B,),
     num_valid (B,), band_masked (B,)) — per-pair semantics identical to
     ops/fused.py fused_gn_level_packs.
     """
+    bi = depth_gains is not None
+    if bi and esm:
+        raise ValueError("gradient_at='esm' is photometric-only")
+    CH = 6 if bi else 3
     B = i0_flat.shape[0]
     NP, _ = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W, esm)
+    tiling = _batch_tilings(H, W, esm, bi)
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
@@ -483,6 +534,8 @@ def fused_gn_level_batch(
         geom = _pad(geom)
         t_all = _pad(t_all)
         init_states = _pad(jnp.asarray(init_states, jnp.float32))
+        if bi:
+            depth_gains = _pad(jnp.asarray(depth_gains, jnp.float32))
 
     # kernel layouts: i0 (NB*S, NP); geom TYPE-major per block
     # (NB*GR*S, NP) rows [blk, t, s]; t_all STREAM-major (NB*S*3HP, W)
@@ -493,11 +546,18 @@ def fused_gn_level_batch(
         .transpose(0, 2, 1, 3)
         .reshape(NB * GR * S, NP)
     )
-    t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, W)
+    t_k = jnp.asarray(t_all).reshape(NB * S * CH * HP, W)
+    # states row: [state (6), 0, gain] — slot 7 carries the per-pair
+    # bi-objective depth gain (state-invariant, read once by the kernel)
+    gains_col = (
+        jnp.asarray(depth_gains, jnp.float32).reshape(NB * S, 1)
+        if bi else jnp.zeros((NB * S, 1), jnp.float32)
+    )
     st_k = jnp.concatenate(
         [
             jnp.asarray(init_states, jnp.float32).reshape(NB * S, 6),
-            jnp.zeros((NB * S, 2), jnp.float32),
+            jnp.zeros((NB * S, 1), jnp.float32),
+            gains_col,
         ],
         axis=1,
     )
@@ -518,7 +578,7 @@ def fused_gn_level_batch(
         min_gradient_norm=float(min_gradient_norm),
         lambda_step=float(lambda_step),
         mix_mode=mix_mode, robust_loss=robust_loss,
-        robust_delta=float(robust_delta), esm=esm,
+        robust_delta=float(robust_delta), esm=esm, bi=bi,
     )
     grid = (NB,)
     # the block working set is deliberately larger than the default 16 MB
@@ -539,7 +599,7 @@ def fused_gn_level_batch(
                 (GR * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (S * 3 * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (S * CH * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(

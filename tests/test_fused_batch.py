@@ -145,3 +145,71 @@ def test_batch_tilings_shapes():
         NP, _ = F._pick_tile_pixels(H, W)
         assert NP % NT == 0
     assert _batch_tilings(480, 640) is None  # VGA level 0 cannot fit S=8
+
+
+def test_batch_kernel_biobjective_matches_per_pair(intr):
+    """Bi-objective batched mode (six channels + per-pair depth gain) vs
+    the per-pair 16x16-Gram kernel."""
+    from phovo_tpu.utils.config import PhovoConfig  # noqa: F401 (parity)
+
+    level, B, its = 1, 3, 3
+    shape = (120, 160)
+    frames = []
+    for k in range(B + 1):
+        st = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=shape, state=st)
+        if k == 0:
+            frames.append((I0, D0))
+        frames.append((I1, D1))
+    frames = frames[:B + 1]
+    max_depth = 5.0
+    packs = []
+    Hl = Wl = None
+    for I, D in frames:
+        ip = pyr.build_pyramid(jnp.asarray(I, jnp.float32), level + 1, (0, 0))
+        dp = pyr.build_pyramid(jnp.asarray(D, jnp.float32), level + 1, None)
+        gx, gy = pyr.build_gradient_pyramid(ip, (0.0625,) * (level + 1))
+        dnorm = [d * (1.0 / max_depth) for d in dp]
+        dgx, dgy = pyr.build_gradient_pyramid(dnorm, (0.0625,) * (level + 1))
+        Hl, Wl = ip[level].shape
+        NP, _ = F._pick_tile_pixels(Hl, Wl)
+        i0f = F._pad_flat(ip[level].reshape(1, Hl * Wl), NP)
+        geom = F.pack_geometry(dp[level], intr.at_level(level), 0.3, max_depth, NP)
+        t3 = F.pack_target_colmajor(ip[level], gx[level], gy[level])
+        t6 = jnp.concatenate(
+            [t3] + [F._pad_channel_rows(c) for c in (dp[level], dgx[level], dgy[level])],
+            axis=0,
+        )
+        gain = jnp.mean(ip[level]) / jnp.mean(dp[level])
+        packs.append((i0f, geom, t6, gain, dp[level], ip[level], gx[level], gy[level], dgx[level], dgy[level]))
+    intr_l = intr.at_level(level)
+
+    refs = []
+    for k in range(B):
+        i0f, geom, _, _, dep, inten = packs[k][:6]
+        tgt = packs[k + 1]
+        out = F.fused_gn_level(
+            inten, dep,
+            F.pack_target_colmajor(tgt[5], tgt[6], tgt[7]),
+            intr_l, jnp.zeros(6), 0.3, max_depth, its, 0.0, 1.0,
+            "nearest", interpret=True,
+            depth_cols=(tgt[4], tgt[8], tgt[9]), depth_gain=tgt[3],
+            mix_mode="f32",
+        )
+        refs.append([np.asarray(o) for o in out])
+
+    outb = fused_gn_level_batch(
+        jnp.concatenate([packs[k][0] for k in range(B)], axis=0),
+        jnp.stack([packs[k][1] for k in range(B)]),
+        jnp.stack([packs[k + 1][2] for k in range(B)]),
+        intr_l, jnp.zeros((B, 6)), 0.3, max_depth, its, 0.0, 1.0,
+        H=Hl, W=Wl, sampling="nearest", interpret=True, mix_mode="f32",
+        streams=2,
+        depth_gains=jnp.stack([packs[k + 1][3] for k in range(B)]),
+    )
+    for k in range(B):
+        np.testing.assert_allclose(
+            np.asarray(outb[0])[k], refs[k][0], atol=2e-4,
+            err_msg=f"pair {k} state",
+        )
+        assert int(np.asarray(outb[1])[k]) == int(refs[k][0 + 1])

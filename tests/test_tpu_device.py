@@ -486,3 +486,52 @@ def test_ic_level_major_sequence_matches_scan_on_device():
     np.testing.assert_array_equal(
         np.asarray(lm.iterations), np.asarray(scan.iterations)
     )
+
+
+def test_biobjective_batched_level_on_device(dev_pair):
+    """Bi-objective batched kernel mode (six channels + per-pair gain) vs
+    the per-pair 16x16-Gram kernel on real Mosaic lowering."""
+    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+
+    intr, I0, D0, I1, D1, gt = dev_pair
+    H, W = I0.shape
+    NP, _ = F._pick_tile_pixels(H, W)
+    max_depth = 5.0
+    packs = []
+    for I, D in ((I0, D0), (I1, D1)):
+        gx, gy = _grads(I)
+        dn = D * (1.0 / max_depth)
+        dgx, dgy = pyr.scharr(dn, "x", 0.0625), pyr.scharr(dn, "y", 0.0625)
+        i0f = F._pad_flat(I.reshape(1, H * W), NP)
+        geom = F.pack_geometry(D, intr, 0.3, max_depth, NP)
+        t3 = F.pack_target_colmajor(I, gx, gy)
+        t6 = jnp.concatenate(
+            [t3] + [F._pad_channel_rows(c) for c in (D, dgx, dgy)], axis=0
+        )
+        gain = jnp.mean(I) / jnp.mean(D)
+        packs.append((i0f, geom, t6, gain, I, D, gx, gy, dgx, dgy))
+    B = 8
+    srcs = [packs[k % 2] for k in range(B)]
+    tgts = [packs[(k + 1) % 2] for k in range(B)]
+    refs = []
+    for k in range(2):
+        s, t = srcs[k], tgts[k]
+        out = jax.block_until_ready(F.fused_gn_level(
+            s[4], s[5], F.pack_target_colmajor(t[4], t[6], t[7]),
+            intr, jnp.zeros(6), 0.3, max_depth, 5, 0.0, 1.0, "nearest",
+            depth_cols=(t[5], t[8], t[9]), depth_gain=t[3], mix_mode="f32",
+        ))
+        refs.append(np.asarray(out[0]))
+    outb = jax.block_until_ready(fused_gn_level_batch(
+        jnp.concatenate([s[0] for s in srcs], axis=0),
+        jnp.stack([s[1] for s in srcs]),
+        jnp.stack([t[2] for t in tgts]),
+        intr, jnp.zeros((B, 6)), 0.3, max_depth, 5, 0.0, 1.0,
+        H=H, W=W, sampling="nearest", mix_mode="f32",
+        depth_gains=jnp.stack([t[3] for t in tgts]),
+    ))
+    for k in range(B):
+        np.testing.assert_allclose(
+            np.asarray(outb[0])[k], refs[k % 2], atol=5e-4,
+            err_msg=f"pair {k}",
+        )
