@@ -158,6 +158,97 @@ def align_autodiff(
     )
 
 
+def tr_levelmajor_eligible(
+    config: PhovoConfig, shape, jacobian_mode: str, warm_start: bool
+) -> bool:
+    """Gating for the trust-region level-major path (analytic gating +
+    linearizer jacobian mode — the jacfwd mode exists to exercise the
+    Ceres residual-functor schema and stays on the scan path)."""
+    import os
+
+    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+        return False
+    if warm_start or jacobian_mode != "linearizer":
+        return False
+    if not (
+        fused_ops._HAS_PALLAS and jax.default_backend() == "tpu"
+    ):
+        return False
+    from phovo_tpu.ops.fused_batch import _batch_tilings
+
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if h > fused_ops.FUSED_MAX_H or _batch_tilings(h, w) is None:
+            return False
+    return True
+
+
+def align_sequence_autodiff_levelmajor(
+    intensities: jax.Array,  # (B+1, H, W)
+    depths: jax.Array,
+    intr: Intrinsics,
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """Trust-region sequence re-ordered LEVEL-major through the
+    sublane-batched TR kernel (ops/fused_batch.py fused_tr_level_batch):
+    all B pairs' LM levels advance in lockstep with per-pair radii and
+    termination flags.
+
+    Divergence from the per-pair scan: ZERO-iteration levels report zero
+    diagnostics here (the scan path runs their initial linearization and
+    reports its cost/gradient); states are identical either way — a
+    0-iteration level never moves the state."""
+    from phovo_tpu.models.analytic import prep_frame_analytic
+    from phovo_tpu.ops.fused_batch import fused_tr_level_batch
+
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    B = intensities.shape[0] - 1
+    prep = jax.vmap(
+        lambda i, d: prep_frame_analytic(i, d, intr, config)
+    )(intensities, depths)
+
+    L = config.num_levels
+    states = jnp.zeros((B, 6), jnp.float32)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        i0f, geom, t_all = prep[level]
+        st, its, cost, gnorm, radius, nvalid, masked = fused_tr_level_batch(
+            i0f[:-1, 0, :],
+            geom[:-1],
+            t_all[1:],
+            intr.at_level(level), states,
+            config.min_depth, config.max_depth,
+            config.trust_region_options(level),
+            H=H, W=W, sampling="bilinear", interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta,
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "jacobian_mode", "warm_start")
 )
@@ -170,7 +261,14 @@ def align_sequence_autodiff(
     warm_start: bool = False,
 ) -> AlignmentResult:
     """Buffered-segment trust-region alignment: lax.scan over consecutive
-    pairs (the 'ceres' backend's analog of analytic.align_sequence)."""
+    pairs (the 'ceres' backend's analog of analytic.align_sequence).
+    Zero-init sequences take the LEVEL-major sublane-batched TR path."""
+    if config.robust_loss != "tdist" and tr_levelmajor_eligible(
+        config, intensities.shape[1:], jacobian_mode, warm_start
+    ):
+        return align_sequence_autodiff_levelmajor(
+            intensities, depths, intr, config
+        )
     return sequence_scan(
         lambda si, sd, ti, td, init: align_autodiff(
             si, sd, ti, td, intr, init, config, jacobian_mode

@@ -106,6 +106,285 @@ def pick_batch_streams(H: int, W: int, esm: bool = False) -> int | None:
     return t[0] if t else None
 
 
+def _batch_linearize(
+    s0, s1, s2, s3, s4, s5, *,
+    fx, fy, cx, cy, gain,
+    i0_ref, geom_ref, t_all_ref,
+    S, H, W, NT, NP, bilinear, mix_mode,
+    robust_loss, robust_delta, esm, bi,
+):
+    """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
+
+    The shared batched linearization of the GN and trust-region batch
+    kernels: the batched analog of the per-pair 8x8/16x16 Gram
+    (ops/fused.py _linearize_gram), computed as lane reductions over
+    (S, NT) column products.  Returns (A [6][6], b [6], cost, nvalid,
+    masked)."""
+    HP = _ceil8(H)
+    n_tiles = NP // NT
+    tile_rows = max(1, NT // W)
+    BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
+    CH = 6 if bi else 3
+    cyw, syw = jnp.cos(s3), jnp.sin(s3)
+    cp, sp = jnp.cos(s4), jnp.sin(s4)
+    cr, sr = jnp.cos(s5), jnp.sin(s5)
+    # rotation rows (ZYX, ops/se3.pose_matrix) — all (S, 1)
+    R00, R01, R02 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+    R10, R11, R12 = syw * cp, syw * sp * sr + cyw * cr, syw * sp * cr - cyw * sr
+    R20, R21, R22 = -sp, cp * sr, cp * cr
+    dY00, dY01, dY02 = -syw * cp, -syw * sp * sr - cyw * cr, -syw * sp * cr + cyw * sr
+    dY10, dY11, dY12 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
+    dP00, dP01, dP02 = -cyw * sp, cyw * cp * sr, cyw * cp * cr
+    dP10, dP11, dP12 = -syw * sp, syw * cp * sr, syw * cp * cr
+    dP20, dP21, dP22 = -cp, -sp * sr, -sp * cr
+    dR01y, dR02y = cyw * sp * cr + syw * sr, -cyw * sp * sr + syw * cr
+    dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
+    dR21y, dR22y = cp * cr, -cp * sr
+
+    def tile_entries(step):
+        if n_tiles == 1:
+            off = 0
+            px = geom_ref[0 * S:1 * S, :]
+            py = geom_ref[1 * S:2 * S, :]
+            pz = geom_ref[2 * S:3 * S, :]
+            vd = geom_ref[3 * S:4 * S, :]
+            i0 = i0_ref[:, :]
+        else:
+            off = pl.multiple_of(step * NT, 128)
+            px = geom_ref[0 * S:1 * S, pl.ds(off, NT)]
+            py = geom_ref[1 * S:2 * S, pl.ds(off, NT)]
+            pz = geom_ref[2 * S:3 * S, pl.ds(off, NT)]
+            vd = geom_ref[3 * S:4 * S, pl.ds(off, NT)]
+            i0 = i0_ref[:, pl.ds(off, NT)]
+
+        tx = R00 * px + R01 * py + R02 * pz + s0
+        ty = R10 * px + R11 * py + R12 * pz + s1
+        tz = R20 * px + R21 * py + R22 * pz + s2
+        safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
+        iz = 1.0 / safe_z
+        u = tx * fx * iz + cx
+        v = ty * fy * iz + cy
+        valid = (vd > 0.5) & (tz > 0)
+
+        ry0 = dY00 * px + dY01 * py + dY02 * pz
+        ry1 = dY10 * px + dY11 * py + dY12 * pz
+        rp0 = dP00 * px + dP01 * py + dP02 * pz
+        rp1 = dP10 * px + dP11 * py + dP12 * pz
+        rp2 = dP20 * px + dP21 * py + dP22 * pz
+        rr0 = dR01y * py + dR02y * pz
+        rr1 = dR11y * py + dR12y * pz
+        rr2 = dR21y * py + dR22y * pz
+
+        a0 = fx * iz
+        a2 = -fx * tx * iz * iz
+        b1 = fy * iz
+        b2 = -fy * ty * iz * iz
+        Ju0, Ju2 = a0, a2
+        Ju3 = a0 * ry0
+        Ju4 = a0 * rp0 + a2 * rp2
+        Ju5 = a0 * rr0 + a2 * rr2
+        Jv1, Jv2 = b1, b2
+        Jv3 = b1 * ry1
+        Jv4 = b1 * rp1 + b2 * rp2
+        Jv5 = b1 * rr1 + b2 * rr2
+
+        if bilinear:
+            c0 = jnp.floor(u)
+            r0 = jnp.floor(v)
+            fc = u - c0
+            fr = v - r0
+            inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        else:
+            c0 = jnp.round(u)
+            r0 = jnp.round(v)
+            fc = fr = None
+            inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
+        valid = valid & inb
+        c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)  # (S, NT)
+        r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
+        if bilinear:
+            c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
+            r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32)
+        else:
+            c_hi = c_lo
+            r_hi = r_lo
+
+        # Banded row window, per pair: each pair's tile lands in its own
+        # narrow target-row band (see ops/fused.py _linearize_gram).
+        # The band minimum is a batched lane reduction; the window
+        # slices below are per-pair (they index pair s's target).
+        if BAND < H:
+            rmin = jnp.min(
+                jnp.where(valid, r_lo, jnp.int32(H)), axis=1, keepdims=True
+            )  # (S, 1)
+            band = jnp.clip(rmin, 0, HP - BAND)
+            band = (band // 8) * 8
+            in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+            masked_t = jnp.sum(
+                jnp.where(valid & ~in_band, 1.0, 0.0),
+                axis=1, keepdims=True,
+            )  # (S, 1)
+            valid = valid & in_band
+            r_lo_loc = r_lo - band
+            r_hi_loc = r_hi - band
+        else:
+            band = None
+            masked_t = jnp.zeros((S, 1), jnp.float32)
+            r_lo_loc = r_lo
+            r_hi_loc = r_hi
+
+        # --- per-pair sampling: one/two-hot column mask, column-mix MXU
+        # dot against pair s's banded target stack, row-mix reduce ---
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
+        samp_rows = [[] for _ in range(CH)]
+        for s in range(S):
+            cl_s = c_lo[s:s + 1]  # (1, NT)
+            if bilinear:
+                ch_s = c_hi[s:s + 1]
+                fc_s = fc[s:s + 1]
+                colw = jnp.where(iota_w == cl_s, 1.0 - fc_s, 0.0) + jnp.where(
+                    iota_w == ch_s, fc_s, 0.0
+                )
+            else:
+                colw_dtype = (
+                    jnp.float32 if mix_mode == "f32" else jnp.bfloat16
+                )
+                colw = (iota_w == cl_s).astype(colw_dtype)
+            base = s * CH * HP
+            if BAND < H:
+                b_s = pl.multiple_of(band[s, 0], 8)
+                blocks = [
+                    t_all_ref[pl.ds(base + ch * HP + b_s, BAND), :]
+                    for ch in range(CH)
+                ]
+            else:
+                blocks = [
+                    t_all_ref[base + ch * HP:base + ch * HP + H, :]
+                    for ch in range(CH)
+                ]
+            if mix_mode == "bf16x2g":
+                C_ch = _split_sample(
+                    blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
+                )
+            else:
+                C = mixed_col_dot(
+                    jnp.concatenate(blocks, axis=0), colw, mix_mode,
+                    bilinear,
+                )
+                C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
+            rl_s = r_lo_loc[s:s + 1]
+            if bilinear:
+                rh_s = r_hi_loc[s:s + 1]
+                fr_s = fr[s:s + 1]
+                roww = jnp.where(iota_h == rl_s, 1.0 - fr_s, 0.0) + jnp.where(
+                    iota_h == rh_s, fr_s, 0.0
+                )
+            else:
+                roww = jnp.where(iota_h == rl_s, 1.0, 0.0)
+            for ch in range(CH):
+                samp_rows[ch].append(
+                    jnp.sum(C_ch[ch] * roww, axis=0, keepdims=True)
+                )
+        i1w = jnp.concatenate(samp_rows[0], axis=0)  # (S, NT)
+        gxw = jnp.concatenate(samp_rows[1], axis=0)
+        gyw = jnp.concatenate(samp_rows[2], axis=0)
+        if esm:
+            # ESM: average warped-target and hoisted source gradients
+            # (geom rows 4/5, ops/fused.py pack_geometry)
+            if n_tiles == 1:
+                sgx = geom_ref[4 * S:5 * S, :]
+                sgy = geom_ref[5 * S:6 * S, :]
+            else:
+                sgx = geom_ref[4 * S:5 * S, pl.ds(off, NT)]
+                sgy = geom_ref[5 * S:6 * S, pl.ds(off, NT)]
+            gxw = 0.5 * (gxw + sgx)
+            gyw = 0.5 * (gyw + sgy)
+
+        validf = valid.astype(jnp.float32)
+        resid = (i1w - i0) * validf
+        if robust_loss == "none":
+            s_int = validf
+            r_w = resid
+        else:
+            s_int = validf * robust_sqrt_weight(
+                resid, robust_loss, robust_delta
+            )
+            r_w = resid * s_int
+        cols = [
+            (gxw * Ju0) * s_int,
+            (gyw * Jv1) * s_int,
+            (gxw * Ju2 + gyw * Jv2) * s_int,
+            (gxw * Ju3 + gyw * Jv3) * s_int,
+            (gxw * Ju4 + gyw * Jv4) * s_int,
+            (gxw * Ju5 + gyw * Jv5) * s_int,
+        ]
+        if bi:
+            # depth block (…BiObjective.h:241-452; J_rt z-row is
+            # [0, 0, 1, 0, rp2, rr2] — dR/dyaw has zero 3rd row)
+            d1w = jnp.concatenate(samp_rows[3], axis=0)
+            dgxw = jnp.concatenate(samp_rows[4], axis=0)
+            dgyw = jnp.concatenate(samp_rows[5], axis=0)
+            r_dep = gain * (d1w - tz) * validf
+            if robust_loss == "none":
+                s_dep = validf
+                rd_w = r_dep
+            else:
+                s_dep = validf * robust_sqrt_weight(
+                    r_dep, robust_loss, robust_delta
+                )
+                rd_w = r_dep * s_dep
+            dcols = [
+                gain * (dgxw * Ju0) * s_dep,
+                gain * (dgyw * Jv1) * s_dep,
+                gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * s_dep,
+                gain * (dgxw * Ju3 + dgyw * Jv3) * s_dep,
+                gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * s_dep,
+                gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * s_dep,
+            ]
+
+        def red(a, b):
+            return jnp.sum(a * b, axis=1, keepdims=True)  # (S, 1)
+
+        A_t = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i, 6):
+                A_t[i][j] = red(cols[i], cols[j])
+                if bi:
+                    A_t[i][j] = A_t[i][j] + red(dcols[i], dcols[j])
+                if j != i:
+                    A_t[j][i] = A_t[i][j]
+        b_t = [red(cols[i], r_w) for i in range(6)]
+        cost_t = red(r_w, r_w)
+        if bi:
+            b_t = [
+                b_t[i] + red(dcols[i], rd_w) for i in range(6)
+            ]
+            cost_t = cost_t + red(rd_w, rd_w)
+        nval_t = jnp.sum(validf, axis=1, keepdims=True)
+        return A_t, b_t, cost_t, nval_t, masked_t
+
+    if n_tiles == 1:
+        return tile_entries(0)
+
+    def acc_tile(t, acc):
+        A_a, b_a, c_a, n_a, m_a = acc
+        A_t, b_t, c_t, n_t, m_t = tile_entries(t)
+        A_n = [
+            [A_a[i][j] + A_t[i][j] for j in range(6)] for i in range(6)
+        ]
+        b_n = [b_a[i] + b_t[i] for i in range(6)]
+        return A_n, b_n, c_a + c_t, n_a + n_t, m_a + m_t
+
+    zeros = jnp.zeros((S, 1), jnp.float32)
+    init = (
+        [[zeros] * 6 for _ in range(6)],
+        [zeros] * 6,
+        zeros, zeros, zeros,
+    )
+    return jax.lax.fori_loop(0, n_tiles, acc_tile, init)
+
+
 def _fused_gn_batch_kernel(
     states_ref,  # (S, 8) VMEM f32 rows [x y z yaw pitch roll 0 0]
     const_ref,  # (1, 8) SMEM [fx fy cx cy minD maxD 0 0]
@@ -144,281 +423,16 @@ def _fused_gn_batch_kernel(
     and the intensity/depth normal-equation blocks are summed directly
     (the per-pair kernel's 16x16 Gram block sum, re-associated as lane
     reductions)."""
-    fx = const_ref[0, 0]
-    fy = const_ref[0, 1]
-    cx = const_ref[0, 2]
-    cy = const_ref[0, 3]
-    HP = _ceil8(H)
-    n_tiles = NP // NT
-    tile_rows = max(1, NT // W)
-    BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
-    CH = 6 if bi else 3
     gain = states_ref[:, 7:8] if bi else None  # (S, 1), state-invariant
+    linearize = functools.partial(
+        _batch_linearize,
+        fx=const_ref[0, 0], fy=const_ref[0, 1],
+        cx=const_ref[0, 2], cy=const_ref[0, 3], gain=gain,
+        i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
+        S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=robust_delta, esm=esm, bi=bi,
+    )
 
-    def linearize(s0, s1, s2, s3, s4, s5):
-        """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
-
-        Returns (A [6][6], b [6], cost, nvalid, masked) — the batched
-        analog of the per-pair 8x8 Gram (ops/fused.py _linearize_gram),
-        computed as lane reductions over (S, NT) column products."""
-        cyw, syw = jnp.cos(s3), jnp.sin(s3)
-        cp, sp = jnp.cos(s4), jnp.sin(s4)
-        cr, sr = jnp.cos(s5), jnp.sin(s5)
-        # rotation rows (ZYX, ops/se3.pose_matrix) — all (S, 1)
-        R00, R01, R02 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
-        R10, R11, R12 = syw * cp, syw * sp * sr + cyw * cr, syw * sp * cr - cyw * sr
-        R20, R21, R22 = -sp, cp * sr, cp * cr
-        dY00, dY01, dY02 = -syw * cp, -syw * sp * sr - cyw * cr, -syw * sp * cr + cyw * sr
-        dY10, dY11, dY12 = cyw * cp, cyw * sp * sr - syw * cr, cyw * sp * cr + syw * sr
-        dP00, dP01, dP02 = -cyw * sp, cyw * cp * sr, cyw * cp * cr
-        dP10, dP11, dP12 = -syw * sp, syw * cp * sr, syw * cp * cr
-        dP20, dP21, dP22 = -cp, -sp * sr, -sp * cr
-        dR01y, dR02y = cyw * sp * cr + syw * sr, -cyw * sp * sr + syw * cr
-        dR11y, dR12y = syw * sp * cr - cyw * sr, -syw * sp * sr - cyw * cr
-        dR21y, dR22y = cp * cr, -cp * sr
-
-        def tile_entries(step):
-            if n_tiles == 1:
-                off = 0
-                px = geom_ref[0 * S:1 * S, :]
-                py = geom_ref[1 * S:2 * S, :]
-                pz = geom_ref[2 * S:3 * S, :]
-                vd = geom_ref[3 * S:4 * S, :]
-                i0 = i0_ref[:, :]
-            else:
-                off = pl.multiple_of(step * NT, 128)
-                px = geom_ref[0 * S:1 * S, pl.ds(off, NT)]
-                py = geom_ref[1 * S:2 * S, pl.ds(off, NT)]
-                pz = geom_ref[2 * S:3 * S, pl.ds(off, NT)]
-                vd = geom_ref[3 * S:4 * S, pl.ds(off, NT)]
-                i0 = i0_ref[:, pl.ds(off, NT)]
-
-            tx = R00 * px + R01 * py + R02 * pz + s0
-            ty = R10 * px + R11 * py + R12 * pz + s1
-            tz = R20 * px + R21 * py + R22 * pz + s2
-            safe_z = jnp.where(jnp.abs(tz) > 1e-12, tz, 1e-12)
-            iz = 1.0 / safe_z
-            u = tx * fx * iz + cx
-            v = ty * fy * iz + cy
-            valid = (vd > 0.5) & (tz > 0)
-
-            ry0 = dY00 * px + dY01 * py + dY02 * pz
-            ry1 = dY10 * px + dY11 * py + dY12 * pz
-            rp0 = dP00 * px + dP01 * py + dP02 * pz
-            rp1 = dP10 * px + dP11 * py + dP12 * pz
-            rp2 = dP20 * px + dP21 * py + dP22 * pz
-            rr0 = dR01y * py + dR02y * pz
-            rr1 = dR11y * py + dR12y * pz
-            rr2 = dR21y * py + dR22y * pz
-
-            a0 = fx * iz
-            a2 = -fx * tx * iz * iz
-            b1 = fy * iz
-            b2 = -fy * ty * iz * iz
-            Ju0, Ju2 = a0, a2
-            Ju3 = a0 * ry0
-            Ju4 = a0 * rp0 + a2 * rp2
-            Ju5 = a0 * rr0 + a2 * rr2
-            Jv1, Jv2 = b1, b2
-            Jv3 = b1 * ry1
-            Jv4 = b1 * rp1 + b2 * rp2
-            Jv5 = b1 * rr1 + b2 * rr2
-
-            if bilinear:
-                c0 = jnp.floor(u)
-                r0 = jnp.floor(v)
-                fc = u - c0
-                fr = v - r0
-                inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-            else:
-                c0 = jnp.round(u)
-                r0 = jnp.round(v)
-                fc = fr = None
-                inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
-            valid = valid & inb
-            c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)  # (S, NT)
-            r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
-            if bilinear:
-                c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
-                r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32)
-            else:
-                c_hi = c_lo
-                r_hi = r_lo
-
-            # Banded row window, per pair: each pair's tile lands in its own
-            # narrow target-row band (see ops/fused.py _linearize_gram).
-            # The band minimum is a batched lane reduction; the window
-            # slices below are per-pair (they index pair s's target).
-            if BAND < H:
-                rmin = jnp.min(
-                    jnp.where(valid, r_lo, jnp.int32(H)), axis=1, keepdims=True
-                )  # (S, 1)
-                band = jnp.clip(rmin, 0, HP - BAND)
-                band = (band // 8) * 8
-                in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
-                masked_t = jnp.sum(
-                    jnp.where(valid & ~in_band, 1.0, 0.0),
-                    axis=1, keepdims=True,
-                )  # (S, 1)
-                valid = valid & in_band
-                r_lo_loc = r_lo - band
-                r_hi_loc = r_hi - band
-            else:
-                band = None
-                masked_t = jnp.zeros((S, 1), jnp.float32)
-                r_lo_loc = r_lo
-                r_hi_loc = r_hi
-
-            # --- per-pair sampling: one/two-hot column mask, column-mix MXU
-            # dot against pair s's banded target stack, row-mix reduce ---
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
-            iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
-            samp_rows = [[] for _ in range(CH)]
-            for s in range(S):
-                cl_s = c_lo[s:s + 1]  # (1, NT)
-                if bilinear:
-                    ch_s = c_hi[s:s + 1]
-                    fc_s = fc[s:s + 1]
-                    colw = jnp.where(iota_w == cl_s, 1.0 - fc_s, 0.0) + jnp.where(
-                        iota_w == ch_s, fc_s, 0.0
-                    )
-                else:
-                    colw_dtype = (
-                        jnp.float32 if mix_mode == "f32" else jnp.bfloat16
-                    )
-                    colw = (iota_w == cl_s).astype(colw_dtype)
-                base = s * CH * HP
-                if BAND < H:
-                    b_s = pl.multiple_of(band[s, 0], 8)
-                    blocks = [
-                        t_all_ref[pl.ds(base + ch * HP + b_s, BAND), :]
-                        for ch in range(CH)
-                    ]
-                else:
-                    blocks = [
-                        t_all_ref[base + ch * HP:base + ch * HP + H, :]
-                        for ch in range(CH)
-                    ]
-                if mix_mode == "bf16x2g":
-                    C_ch = _split_sample(
-                        blocks, colw, bilinear, exact=(0, 3) if bi else (0,)
-                    )
-                else:
-                    C = mixed_col_dot(
-                        jnp.concatenate(blocks, axis=0), colw, mix_mode,
-                        bilinear,
-                    )
-                    C_ch = [C[ch * BAND:(ch + 1) * BAND] for ch in range(CH)]
-                rl_s = r_lo_loc[s:s + 1]
-                if bilinear:
-                    rh_s = r_hi_loc[s:s + 1]
-                    fr_s = fr[s:s + 1]
-                    roww = jnp.where(iota_h == rl_s, 1.0 - fr_s, 0.0) + jnp.where(
-                        iota_h == rh_s, fr_s, 0.0
-                    )
-                else:
-                    roww = jnp.where(iota_h == rl_s, 1.0, 0.0)
-                for ch in range(CH):
-                    samp_rows[ch].append(
-                        jnp.sum(C_ch[ch] * roww, axis=0, keepdims=True)
-                    )
-            i1w = jnp.concatenate(samp_rows[0], axis=0)  # (S, NT)
-            gxw = jnp.concatenate(samp_rows[1], axis=0)
-            gyw = jnp.concatenate(samp_rows[2], axis=0)
-            if esm:
-                # ESM: average warped-target and hoisted source gradients
-                # (geom rows 4/5, ops/fused.py pack_geometry)
-                if n_tiles == 1:
-                    sgx = geom_ref[4 * S:5 * S, :]
-                    sgy = geom_ref[5 * S:6 * S, :]
-                else:
-                    sgx = geom_ref[4 * S:5 * S, pl.ds(off, NT)]
-                    sgy = geom_ref[5 * S:6 * S, pl.ds(off, NT)]
-                gxw = 0.5 * (gxw + sgx)
-                gyw = 0.5 * (gyw + sgy)
-
-            validf = valid.astype(jnp.float32)
-            resid = (i1w - i0) * validf
-            if robust_loss == "none":
-                s_int = validf
-                r_w = resid
-            else:
-                s_int = validf * robust_sqrt_weight(
-                    resid, robust_loss, robust_delta
-                )
-                r_w = resid * s_int
-            cols = [
-                (gxw * Ju0) * s_int,
-                (gyw * Jv1) * s_int,
-                (gxw * Ju2 + gyw * Jv2) * s_int,
-                (gxw * Ju3 + gyw * Jv3) * s_int,
-                (gxw * Ju4 + gyw * Jv4) * s_int,
-                (gxw * Ju5 + gyw * Jv5) * s_int,
-            ]
-            if bi:
-                # depth block (…BiObjective.h:241-452; J_rt z-row is
-                # [0, 0, 1, 0, rp2, rr2] — dR/dyaw has zero 3rd row)
-                d1w = jnp.concatenate(samp_rows[3], axis=0)
-                dgxw = jnp.concatenate(samp_rows[4], axis=0)
-                dgyw = jnp.concatenate(samp_rows[5], axis=0)
-                r_dep = gain * (d1w - tz) * validf
-                if robust_loss == "none":
-                    s_dep = validf
-                    rd_w = r_dep
-                else:
-                    s_dep = validf * robust_sqrt_weight(
-                        r_dep, robust_loss, robust_delta
-                    )
-                    rd_w = r_dep * s_dep
-                dcols = [
-                    gain * (dgxw * Ju0) * s_dep,
-                    gain * (dgyw * Jv1) * s_dep,
-                    gain * (dgxw * Ju2 + dgyw * Jv2 - 1.0) * s_dep,
-                    gain * (dgxw * Ju3 + dgyw * Jv3) * s_dep,
-                    gain * (dgxw * Ju4 + dgyw * Jv4 - rp2) * s_dep,
-                    gain * (dgxw * Ju5 + dgyw * Jv5 - rr2) * s_dep,
-                ]
-
-            def red(a, b):
-                return jnp.sum(a * b, axis=1, keepdims=True)  # (S, 1)
-
-            A_t = [[None] * 6 for _ in range(6)]
-            for i in range(6):
-                for j in range(i, 6):
-                    A_t[i][j] = red(cols[i], cols[j])
-                    if bi:
-                        A_t[i][j] = A_t[i][j] + red(dcols[i], dcols[j])
-                    if j != i:
-                        A_t[j][i] = A_t[i][j]
-            b_t = [red(cols[i], r_w) for i in range(6)]
-            cost_t = red(r_w, r_w)
-            if bi:
-                b_t = [
-                    b_t[i] + red(dcols[i], rd_w) for i in range(6)
-                ]
-                cost_t = cost_t + red(rd_w, rd_w)
-            nval_t = jnp.sum(validf, axis=1, keepdims=True)
-            return A_t, b_t, cost_t, nval_t, masked_t
-
-        if n_tiles == 1:
-            return tile_entries(0)
-
-        def acc_tile(t, acc):
-            A_a, b_a, c_a, n_a, m_a = acc
-            A_t, b_t, c_t, n_t, m_t = tile_entries(t)
-            A_n = [
-                [A_a[i][j] + A_t[i][j] for j in range(6)] for i in range(6)
-            ]
-            b_n = [b_a[i] + b_t[i] for i in range(6)]
-            return A_n, b_n, c_a + c_t, n_a + n_t, m_a + m_t
-
-        zeros = jnp.zeros((S, 1), jnp.float32)
-        init = (
-            [[zeros] * 6 for _ in range(6)],
-            [zeros] * 6,
-            zeros, zeros, zeros,
-        )
-        return jax.lax.fori_loop(0, n_tiles, acc_tile, init)
 
     def active(it, gnorm):
         return (it < max_iterations) & (gnorm >= min_gradient_norm)
@@ -619,4 +633,287 @@ def fused_gn_level_batch(
         diag[:B, 2],
         diag[:B, 3],
         diag[:B, 4],
+    )
+
+
+# ---------------------------------------------------------------------------
+# trust-region (Ceres-semantics) batched kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_tr_batch_kernel(
+    states_ref,  # (S, 8) VMEM rows [x y z yaw pitch roll 0 0]
+    const_ref,  # (1, 8) SMEM
+    i0_ref,  # (S, NP) VMEM
+    geom_ref,  # (4*S, NP) VMEM type-major
+    t_all_ref,  # (S*3*HP, W) VMEM stream-major
+    state_out_ref,  # (S, 8) VMEM
+    diag_out_ref,  # (S, 8) VMEM [it, max|g|, 0.5*cost, nvalid, radius, masked, 0, 0]
+    *,
+    S,
+    H,
+    W,
+    NT,
+    NP,
+    bilinear,
+    opts,
+    mix_mode="f32",
+    robust_loss="none",
+    robust_delta=0.1,
+):
+    """S whole trust-region LM levels in lockstep (the batched analog of
+    ops/fused.py _run_tr_loop — Ceres radius rule, Jacobi-scaled LM step,
+    function/gradient/parameter/radius termination, all vectorized on
+    (S, 1) scalars).  The last-ACCEPTED linearization is carried as its 36
+    normal-equation entries per pair instead of an 8x8 Gram."""
+    linearize = functools.partial(
+        _batch_linearize,
+        fx=const_ref[0, 0], fy=const_ref[0, 1],
+        cx=const_ref[0, 2], cy=const_ref[0, 3], gain=None,
+        i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
+        S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
+        robust_loss=robust_loss, robust_delta=robust_delta, esm=False,
+        bi=False,
+    )
+
+    def flat(A, b, cost, nvalid):
+        return tuple(A[i][j] for i in range(6) for j in range(6)) + tuple(b) + (
+            cost, nvalid,
+        )
+
+    def unflat(t):
+        A = [[t[i * 6 + j] for j in range(6)] for i in range(6)]
+        return A, list(t[36:42]), t[42], t[43]
+
+    def active(it, done):
+        # done carried as 0/1 float: Mosaic cannot round-trip an i1 vector
+        # through the while_loop carry (i8<->i1 truncation unsupported)
+        return (it < opts.max_iterations) & (done < 0.5)
+
+    def cond(carry):
+        return jnp.any(active(carry[6], carry[7]))
+
+    def body(carry):
+        s = carry[:6]
+        it, done, radius, mask_c = carry[6], carry[7], carry[8], carry[9]
+        A, b, cost_raw, nvalid = unflat(carry[10:])
+        act = active(it, done)
+        cost = 0.5 * cost_raw
+        diag = [jnp.clip(A[i][i], 1e-12, 1e32) for i in range(6)]
+        inv_radius = 1.0 / radius
+        A_lm = [
+            [
+                A[i][j] + (diag[i] * inv_radius if i == j else 0.0)
+                for j in range(6)
+            ]
+            for i in range(6)
+        ]
+        step = _chol_solve6(A_lm, [-bi_ for bi_ in b])
+        finite = jnp.isfinite(step[0])
+        for k in range(1, 6):
+            finite = finite & jnp.isfinite(step[k])
+        step = [jnp.where(finite, st, 0.0) for st in step]
+
+        new_s = tuple(s[k] + step[k] for k in range(6))
+        A_n, b_n, cost_n_raw, nvalid_n, masked_n = linearize(*new_s)
+        new_cost = 0.5 * cost_n_raw
+
+        sb = sum(step[i] * b[i] for i in range(6))
+        sAs = sum(
+            step[i] * A[i][j] * step[j] for i in range(6) for j in range(6)
+        )
+        predicted = jnp.maximum(-sb - 0.5 * sAs, 1e-30)
+        rho = (cost - new_cost) / predicted
+
+        accept = rho > opts.min_relative_decrease
+        grow = radius / jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        new_radius = jnp.where(
+            accept,
+            jnp.minimum(grow, opts.max_trust_region_radius),
+            radius * 0.5,
+        )
+
+        upd = act & accept
+        s_o = tuple(jnp.where(upd, new_s[k], s[k]) for k in range(6))
+        A_o = [
+            [jnp.where(upd, A_n[i][j], A[i][j]) for j in range(6)]
+            for i in range(6)
+        ]
+        b_o = [jnp.where(upd, b_n[i], b[i]) for i in range(6)]
+        cost_o = jnp.where(upd, cost_n_raw, cost_raw)
+        nvalid_o = jnp.where(upd, nvalid_n, nvalid)
+
+        gnorm_o = b_o[0] * 0.0
+        for k in range(6):
+            gnorm_o = jnp.maximum(gnorm_o, jnp.abs(b_o[k]))
+        f_done = accept & (
+            jnp.abs(cost - new_cost) <= opts.function_tolerance * cost
+        )
+        g_done = gnorm_o <= opts.gradient_tolerance
+        snorm = jnp.sqrt(sum(step[k] * step[k] for k in range(6)))
+        xnorm = jnp.sqrt(sum(s[k] * s[k] for k in range(6)))
+        p_done = accept & (
+            snorm
+            <= opts.parameter_tolerance
+            * (xnorm + opts.parameter_tolerance)
+        )
+        r_done = new_radius < opts.min_trust_region_radius
+        done_o = jnp.where(
+            act,
+            (f_done | g_done | p_done | r_done).astype(jnp.float32),
+            done,
+        )
+        return s_o + (
+            it + act.astype(jnp.float32),
+            done_o,
+            jnp.where(act, new_radius, radius),
+            jnp.where(act, jnp.maximum(mask_c, masked_n), mask_c),
+        ) + flat(A_o, b_o, cost_o, nvalid_o)
+
+    s0 = tuple(states_ref[:, k:k + 1] for k in range(6))
+    A0, b0, cost0, nvalid0, masked0 = linearize(*s0)
+    zero = states_ref[:, 6:7] * 0.0
+    gnorm0 = zero
+    for k in range(6):
+        gnorm0 = jnp.maximum(gnorm0, jnp.abs(b0[k]))
+    done0 = (gnorm0 <= opts.gradient_tolerance).astype(jnp.float32)
+    init = s0 + (
+        zero,
+        done0,
+        zero + jnp.float32(opts.initial_trust_region_radius),
+        masked0,
+    ) + flat(A0, b0, cost0, nvalid0)
+    final = jax.lax.while_loop(cond, body, init)
+    state_cols = list(final[:6]) + [zero, zero]
+    state_out_ref[:, :] = jnp.concatenate(state_cols, axis=1)
+    _, b_f, cost_f, nvalid_f = unflat(final[10:])
+    gnorm_f = zero
+    for k in range(6):
+        gnorm_f = jnp.maximum(gnorm_f, jnp.abs(b_f[k]))
+    diag_cols = [
+        final[6],
+        gnorm_f,
+        0.5 * cost_f,
+        nvalid_f,
+        final[8],
+        final[9],
+        zero, zero,
+    ]
+    diag_out_ref[:, :] = jnp.concatenate(diag_cols, axis=1)
+
+
+def fused_tr_level_batch(
+    i0_flat,  # (B, NP)
+    geom,  # (B, 4, NP)
+    t_all,  # (B, 3*HP, W)
+    intr,
+    init_states,  # (B, 6)
+    min_depth,
+    max_depth,
+    opts,
+    *,
+    H: int,
+    W: int,
+    sampling: str = "bilinear",
+    interpret: bool = False,
+    mix_mode: str = "f32",
+    robust_loss: str = "none",
+    robust_delta: float = 0.1,
+    streams: int | None = None,
+):
+    """Run ONE whole trust-region LM level for B independent pairs, S per
+    grid block.  Per-pair semantics identical to ops/fused.py
+    fused_tr_level; returns (states (B, 6), iterations, cost,
+    gradient_norm, radius, num_valid, band_masked)."""
+    B = i0_flat.shape[0]
+    NP, _ = _pick_tile_pixels(H, W)
+    HP = _ceil8(H)
+    tiling = _batch_tilings(H, W)
+    if tiling is None:
+        raise ValueError(
+            f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
+            "kernel (ops/fused.py fused_tr_level)"
+        )
+    S, NT = tiling
+    if streams:
+        S = streams
+    NB = -(-B // S)
+    pad = NB * S - B
+    if pad:
+        def _pad(a):
+            return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+
+        i0_flat = _pad(i0_flat)
+        geom = _pad(jnp.asarray(geom))
+        t_all = _pad(jnp.asarray(t_all))
+        init_states = _pad(jnp.asarray(init_states, jnp.float32))
+
+    i0_k = i0_flat.reshape(NB * S, NP)
+    geom_k = (
+        jnp.asarray(geom)
+        .reshape(NB, S, 4, NP)
+        .transpose(0, 2, 1, 3)
+        .reshape(NB * 4 * S, NP)
+    )
+    t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, W)
+    st_k = jnp.concatenate(
+        [
+            jnp.asarray(init_states, jnp.float32).reshape(NB * S, 6),
+            jnp.zeros((NB * S, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    const = jnp.stack(
+        [
+            jnp.float32(intr.fx), jnp.float32(intr.fy),
+            jnp.float32(intr.cx), jnp.float32(intr.cy),
+            jnp.float32(min_depth), jnp.float32(max_depth),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    ).reshape(1, 8)
+    kernel = functools.partial(
+        _fused_tr_batch_kernel,
+        S=S, H=H, W=W, NT=NT, NP=NP,
+        bilinear=(sampling == "bilinear"), opts=opts,
+        mix_mode=mix_mode, robust_loss=robust_loss,
+        robust_delta=float(robust_delta),
+    )
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(_VMEM_BUDGET, 16 * 1024 * 1024)
+    )
+    state_out, diag = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4 * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S * 3 * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NB * S, 8), jnp.float32),
+            jax.ShapeDtypeStruct((NB * S, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(st_k, const, i0_k, geom_k, t_k)
+    return (
+        state_out[:B, :6],
+        diag[:B, 0].astype(jnp.int32),
+        diag[:B, 2],
+        diag[:B, 1],
+        diag[:B, 4],
+        diag[:B, 3],
+        diag[:B, 5],
     )

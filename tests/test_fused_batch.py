@@ -213,3 +213,68 @@ def test_batch_kernel_biobjective_matches_per_pair(intr):
             err_msg=f"pair {k} state",
         )
         assert int(np.asarray(outb[1])[k]) == int(refs[k][0 + 1])
+
+
+def test_tr_batch_kernel_matches_per_pair(intr):
+    """Batched trust-region kernel vs the per-pair whole-level TR kernel
+    (Ceres radius rule, per-pair termination flags)."""
+    from phovo_tpu.ops.fused_batch import fused_tr_level_batch
+    from phovo_tpu.solvers.trust_region import TROptions
+
+    B = 3
+    packs, Hl, Wl = _chain_packs(intr, 1, B + 1)
+    intr_l = intr.at_level(1)
+    opts = TROptions(max_iterations=5)
+
+    refs = []
+    for k in range(B):
+        # fused_tr_level takes raw images; rebuild from the packs' sources
+        pass
+    # build per-pair reference through fused_tr_level on the same packs:
+    # its wrapper re-packs internally, so feed the raw level images instead
+    frames = []
+    for k in range(B + 1):
+        st = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=(120, 160), state=st)
+        if k == 0:
+            frames.append((I0, D0))
+        frames.append((I1, D1))
+    frames = frames[:B + 1]
+    lvl = []
+    for I, D in frames:
+        ip = pyr.build_pyramid(jnp.asarray(I, jnp.float32), 2, (0, 0))
+        dp = pyr.build_pyramid(jnp.asarray(D, jnp.float32), 2, None)
+        gx, gy = pyr.build_gradient_pyramid(ip, (0.0625, 0.0625))
+        lvl.append((ip[1], dp[1], gx[1], gy[1]))
+    for k in range(B):
+        si, sd, _, _ = lvl[k]
+        ti, _, tgx, tgy = lvl[k + 1]
+        out = F.fused_tr_level(
+            si, sd, F.pack_target_colmajor(ti, tgx, tgy), intr_l,
+            jnp.zeros(6), 0.3, 5.0, opts,
+            sampling="bilinear", interpret=True, mix_mode="f32",
+        )
+        refs.append([np.asarray(o) for o in out])
+
+    outb = fused_tr_level_batch(
+        jnp.concatenate([packs[k][0] for k in range(B)], axis=0),
+        jnp.stack([packs[k][1] for k in range(B)]),
+        jnp.stack([packs[k + 1][2] for k in range(B)]),
+        intr_l, jnp.zeros((B, 6)), 0.3, 5.0, opts,
+        H=Hl, W=Wl, sampling="bilinear", interpret=True, mix_mode="f32",
+        streams=2,
+    )
+    for k in range(B):
+        np.testing.assert_allclose(
+            np.asarray(outb[0])[k], refs[k][0], atol=2e-4,
+            err_msg=f"pair {k} state",
+        )
+        assert int(np.asarray(outb[1])[k]) == int(refs[k][1]), f"pair {k} its"
+        np.testing.assert_allclose(
+            float(np.asarray(outb[2])[k]), float(refs[k][2]), rtol=1e-4,
+            err_msg=f"pair {k} cost",
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(outb[5])[k]), float(refs[k][5]), atol=0.5,
+            err_msg=f"pair {k} num_valid",
+        )
