@@ -294,15 +294,34 @@ def serve_sequences_chunk(
     multiply per chunk-pose: G_k = G_chunk_start @ poses[s, k].
     """
 
-    def one(ci, cd, I, D, it):
-        return align_sequence_chunk(
-            ci, cd, I, D, it, config, use_fused, warm_start, depth_scale
-        )
+    from phovo_tpu.models.analytic import levelmajor_eligible
+    from phovo_tpu.models.base import chunk_device_prep
 
-    in_axes_intr = Intrinsics(*(0 if jnp.ndim(v) > 0 else None for v in intr))
-    res, new_ci, new_cd = jax.vmap(one, in_axes=(0, 0, 0, 0, in_axes_intr))(
-        carry_intensity, carry_depth, intensities, depths, intr
-    )
+    shared_rig = all(jnp.ndim(v) == 0 for v in intr)
+    if shared_rig and jax.device_count() == 1 and levelmajor_eligible(
+        config, intensities.shape[2:], use_fused, warm_start
+    ):
+        # one-device fast path: prepend each stream's carry on device, then
+        # run ALL S*B pairs as one level-major batch (see
+        # align_sequences_levelmajor — zero-init pairs are independent
+        # across streams too)
+        I, D = jax.vmap(
+            lambda ci, cd, i, d: chunk_device_prep(ci, cd, i, d, depth_scale)
+        )(carry_intensity, carry_depth, intensities, depths)
+        res = align_sequences_levelmajor(I, D, intr, config)
+        new_ci, new_cd = I[:, -1], D[:, -1]
+    else:
+        def one(ci, cd, I, D, it):
+            return align_sequence_chunk(
+                ci, cd, I, D, it, config, use_fused, warm_start, depth_scale
+            )
+
+        in_axes_intr = Intrinsics(
+            *(0 if jnp.ndim(v) > 0 else None for v in intr)
+        )
+        res, new_ci, new_cd = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, in_axes_intr)
+        )(carry_intensity, carry_depth, intensities, depths, intr)
     poses = jax.vmap(se3.integrate_trajectory)(res.state)
     return res, poses, new_ci, new_cd
 

@@ -126,6 +126,9 @@ def main():
         "--output", "/tmp/e2e_traj_a.txt", "--chunk", "64"])
     rc |= run("ic backend chunk=64", [
         "--output", "/tmp/e2e_traj_ic.txt", "--backend", "ic", "--chunk", "64"])
+    rc |= run("biobjective chunk=64", [
+        "--output", "/tmp/e2e_traj_bi.txt", "--backend", "biobjective",
+        "--chunk", "64"])
     rc |= run("ceres backend", [
         "--output", "/tmp/e2e_traj_c.txt", "--backend", "ceres"])
     rc |= run("keyframe + pose graph + photometric BA", [
