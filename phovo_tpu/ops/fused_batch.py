@@ -99,13 +99,6 @@ def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
     return None
 
 
-def pick_batch_streams(H: int, W: int, esm: bool = False) -> int | None:
-    """Stream count for an H x W level (None: no fitting tiling — caller
-    falls back to the per-pair kernel)."""
-    t = _batch_tilings(H, W, esm)
-    return t[0] if t else None
-
-
 def _batch_linearize(
     s0, s1, s2, s3, s4, s5, *,
     fx, fy, cx, cy, gain,
