@@ -535,3 +535,65 @@ def test_biobjective_batched_level_on_device(dev_pair):
             np.asarray(outb[0])[k], refs[k % 2], atol=5e-4,
             err_msg=f"pair {k}",
         )
+
+
+def _seq_frames(intr, n=6, shape=(128, 160)):
+    frames_i, frames_d = [], []
+    for k in range(n):
+        st = np.array([0.012, -0.006, 0.01, 0.005, -0.004, 0.003]) * (k + 1)
+        I0, D0, I1, D1, _ = make_pair(intr, shape=shape, state=st)
+        if k == 0:
+            frames_i.append(I0)
+            frames_d.append(D0)
+        frames_i.append(I1)
+        frames_d.append(D1)
+    return jnp.asarray(np.stack(frames_i)), jnp.asarray(np.stack(frames_d))
+
+
+def _lm_vs_scan(align_fn, Is, Ds, intr, cfg, atol=3e-3):
+    import os
+
+    lm = jax.block_until_ready(align_fn(Is, Ds, intr, cfg))
+    os.environ["PHOVO_LEVELMAJOR"] = "0"
+    try:
+        jax.clear_caches()
+        scan = jax.block_until_ready(align_fn(Is, Ds, intr, cfg))
+    finally:
+        os.environ.pop("PHOVO_LEVELMAJOR", None)
+    np.testing.assert_allclose(
+        np.asarray(lm.state), np.asarray(scan.state), atol=atol
+    )
+
+
+def test_bi_level_major_sequence_matches_scan_on_device():
+    from phovo_tpu.models.biobjective import align_sequence_biobjective
+    from phovo_tpu.utils.config import PhovoConfig
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    cfg = PhovoConfig(
+        num_levels=3, blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.0625,) * 3, max_iterations=(2, 4, 6),
+        lambda_steps=(1.0,) * 3, min_gradient_norms=(0.0,) * 3,
+        sampling="nearest", mix_mode="bf16x2g",
+    )
+    Is, Ds = _seq_frames(intr)
+    _lm_vs_scan(align_sequence_biobjective, Is, Ds, intr, cfg)
+
+
+def test_tr_level_major_sequence_matches_scan_on_device():
+    from phovo_tpu.models.autodiff import align_sequence_autodiff
+    from phovo_tpu.utils.config import PhovoConfig
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    cfg = PhovoConfig(
+        num_levels=3, blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.0625,) * 3, max_iterations=(2, 4, 6),
+        lambda_steps=(1.0,) * 3, min_gradient_norms=(0.0,) * 3,
+        sampling="bilinear", mix_mode="bf16x2g",
+    )
+    Is, Ds = _seq_frames(intr)
+    _lm_vs_scan(align_sequence_autodiff, Is, Ds, intr, cfg)
