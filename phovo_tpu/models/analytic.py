@@ -364,9 +364,9 @@ def levelmajor_eligible(
     (PhotoconsistencyVisualOdometry.cpp:224) — with warm_start each pair
     depends on the previous pair's result, so pairs cannot advance in
     lockstep — and a per-level VMEM-fitting batch tiling."""
-    import os
+    from phovo_tpu.models.base import levelmajor_enabled
 
-    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+    if not levelmajor_enabled():
         return False
     if warm_start or config.robust_loss == "tdist":
         return False

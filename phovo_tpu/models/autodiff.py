@@ -164,9 +164,9 @@ def tr_levelmajor_eligible(
     """Gating for the trust-region level-major path (analytic gating +
     linearizer jacobian mode — the jacfwd mode exists to exercise the
     Ceres residual-functor schema and stays on the scan path)."""
-    import os
+    from phovo_tpu.models.base import levelmajor_enabled
 
-    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+    if not levelmajor_enabled():
         return False
     if warm_start or jacobian_mode != "linearizer":
         return False
@@ -201,14 +201,26 @@ def align_sequence_autodiff_levelmajor(
     diagnostics here (the scan path runs their initial linearization and
     reports its cost/gradient); states are identical either way — a
     0-iteration level never moves the state."""
+    import dataclasses
+
     from phovo_tpu.models.analytic import prep_frame_analytic
     from phovo_tpu.ops.fused_batch import fused_tr_level_batch
 
     intensities = device_unit_intensity(intensities).astype(jnp.float32)
     shape = intensities.shape[1:]
     B = intensities.shape[0] - 1
+    # The TR backend ignores gradient_at (the reference Ceres functor always
+    # samples the target gradients at the warped position, sample.h:104-123;
+    # align_autodiff likewise never reads it) — but prep_frame_analytic
+    # packs a 6-row ESM geometry when config.gradient_at == 'esm', which the
+    # 4-row batched TR kernel cannot consume. Force the 'warped' pack so
+    # ceres-backend sequences with esm configs route here safely.
+    prep_cfg = (
+        dataclasses.replace(config, gradient_at="warped")
+        if config.gradient_at == "esm" else config
+    )
     prep = jax.vmap(
-        lambda i, d: prep_frame_analytic(i, d, intr, config)
+        lambda i, d: prep_frame_analytic(i, d, intr, prep_cfg)
     )(intensities, depths)
 
     L = config.num_levels

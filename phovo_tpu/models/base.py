@@ -62,6 +62,21 @@ class AlignmentResult(NamedTuple):
 BAND_FALLBACK_DEFAULT = 0.02
 
 
+def levelmajor_enabled() -> bool:
+    """PHOVO_LEVELMAJOR kill-switch for the level-major sequence paths.
+
+    Read at TRACE time inside jitted sequence entry points whose jit cache
+    key is only (config, shapes, flags): a signature compiled while the
+    switch had one value keeps that routing until its executable is
+    dropped. To toggle mid-process (A/B measurements, debugging), set the
+    env var AND call jax.clear_caches() — see tests/test_tpu_device.py
+    _lm_vs_scan for the pattern. Setting it before first use (or before
+    process start) needs no cache flush."""
+    import os
+
+    return os.environ.get("PHOVO_LEVELMAJOR", "1") != "0"
+
+
 def band_masked_fraction(band_masked, num_valid) -> float:
     """Max over levels of dropped/(dropped+kept) pixels for ONE alignment.
 

@@ -160,9 +160,9 @@ def bi_levelmajor_eligible(
 ) -> bool:
     """Gating for the bi-objective level-major path (the analytic gating
     plus a bi-size VMEM tiling — six target channels per stream)."""
-    import os
+    from phovo_tpu.models.base import levelmajor_enabled
 
-    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+    if not levelmajor_enabled():
         return False
     if warm_start or config.gradient_at != "warped":
         return False

@@ -126,9 +126,9 @@ def ic_levelmajor_eligible(
     """Gating for the IC level-major path: reference zero-init semantics,
     Pallas on TPU, per-level VMEM-fitting IC batch tiling
     (ops/ic_batch.py)."""
-    import os
+    from phovo_tpu.models.base import levelmajor_enabled
 
-    if os.environ.get("PHOVO_LEVELMAJOR", "1") == "0":
+    if not levelmajor_enabled():
         return False
     if warm_start or not (
         use_fused and ic_ops._HAS_PALLAS and jax.default_backend() == "tpu"

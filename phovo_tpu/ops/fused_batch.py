@@ -67,6 +67,20 @@ _VMEM_BUDGET = 27_000_000
 _LIVE_ROWS = 30  # conservative count of live (S, NT) temporaries
 
 
+def _check_streams_override(streams: int, interpret: bool) -> None:
+    """The `streams` override replaces the VMEM-calibrated S AFTER
+    _batch_tilings validated the budget, so it must itself respect the
+    sublane constraint: Pallas block shapes need the second-to-last dim
+    divisible by 8 on device. Interpret mode (CPU tests) has no such
+    constraint — small S keeps those tests fast."""
+    if not interpret and streams % 8 != 0:
+        raise ValueError(
+            f"streams override {streams} must be a multiple of 8 on device "
+            "(Mosaic sublane constraint); arbitrary values are "
+            "interpret-only"
+        )
+
+
 def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
     """(S, NT) for the sublane-batched kernel at an H x W level, or None.
 
@@ -530,6 +544,7 @@ def fused_gn_level_batch(
         )
     S, NT = tiling
     if streams:
+        _check_streams_override(streams, interpret)
         S = streams
     NB = -(-B // S)
     pad = NB * S - B
@@ -831,6 +846,7 @@ def fused_tr_level_batch(
         )
     S, NT = tiling
     if streams:
+        _check_streams_override(streams, interpret)
         S = streams
     NB = -(-B // S)
     pad = NB * S - B

@@ -331,6 +331,9 @@ def ic_gn_level_batch(
         )
     S, NT = tiling
     if streams:
+        from phovo_tpu.ops.fused_batch import _check_streams_override
+
+        _check_streams_override(streams, interpret)
         S = streams
     NB = -(-B // S)
     pad = NB * S - B
