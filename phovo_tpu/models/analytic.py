@@ -591,6 +591,160 @@ def track_sequence_chunk(
     return results
 
 
+def prep_frame_targets(
+    intensity: jax.Array,  # (H, W) float32 0..1
+    config: PhovoConfig,
+) -> dict:
+    """Target-side per-frame products only: for every ACTIVE level the
+    (3*HP, W) channel stack (pack_target_colmajor).  The keyframe-tracking
+    path consumes frames exclusively as TARGETS (the keyframe is the one
+    source, and SetTargetFrame ignores depth — …Analytic.h:480-491), so
+    tracked frames need neither a geometry pack nor a depth transfer."""
+    L = config.num_levels
+    blur = tuple(config.blur_filter_sizes)
+    int_p = pyr.build_pyramid(intensity, L, blur, blur_type=config.blur_type)
+    gx, gy = pyr.build_gradient_pyramid(int_p, tuple(config.gradient_scales))
+    out = {}
+    for level in range(L):
+        if config.max_iterations[level] <= 0:
+            continue
+        out[level] = fused_ops.pack_target_colmajor(
+            int_p[level], gx[level], gy[level]
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def prep_keyframe(
+    intensity: jax.Array,  # (H, W) uint8 or float32 0..1
+    depth: jax.Array,  # (H, W) float32 meters
+    intr: Intrinsics,
+    config: PhovoConfig,
+) -> dict:
+    """Device-resident source packs for ONE keyframe (computed once at
+    promotion, shared by every tracking chunk until the next promotion):
+    dict level -> (i0 (1, NP), geom (GR, NP))."""
+    i = device_unit_intensity(intensity).astype(jnp.float32)
+    full = prep_frame_analytic(i, depth.astype(jnp.float32), intr, config)
+    return {level: (i0f, geom) for level, (i0f, geom, _) in full.items()}
+
+
+def track_levelmajor_eligible(
+    config: PhovoConfig, shape, use_fused: bool
+) -> bool:
+    """True when keyframe-chunk tracking can run LEVEL-major: every active
+    level has a shared-source batch tiling (ops/fused_batch.py
+    _batch_tilings(shared_src=True) — strictly less VMEM than the pairwise
+    tiling, so this passes wherever levelmajor_eligible does).  Unlike the
+    frame-chain gate there is no warm-start exclusion: the serial
+    warm-start chain is replaced by EXPLICIT per-pair inits (constant-
+    velocity extrapolation, models/keyframe.py run_chunked), which keeps
+    the pairs independent."""
+    from phovo_tpu.models.base import levelmajor_enabled
+
+    if not levelmajor_enabled():
+        return False
+    if config.robust_loss == "tdist":
+        return False
+    if not prepped_sequence_eligible(config, shape, use_fused):
+        return False
+    from phovo_tpu.ops.fused_batch import _batch_tilings
+
+    esm = config.gradient_at == "esm"
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if _batch_tilings(h, w, esm, shared_src=True) is None:
+            return False
+    return True
+
+
+def track_pairs_levelmajor(
+    kf_prep: dict,  # level -> (i0 (1, NP), geom (GR, NP)) — prep_keyframe
+    tgt_targets: dict,  # level -> (B, 3*HP, W) — batched prep_frame_targets
+    shape: tuple[int, int],
+    intr: Intrinsics,
+    config: PhovoConfig,
+    init_states: jax.Array,  # (B, 6) explicit per-pair inits
+    interpret: bool = False,
+) -> AlignmentResult:
+    """LEVEL-major tracking of B frames against ONE shared keyframe.
+
+    The keyframe's source packs are read once per grid block
+    (shared_source kernel mode) instead of being replicated B times; all B
+    frames' coarsest levels advance in lockstep, then the next level, and
+    so on.  Unlike align_pairs_levelmajor the per-pair init states are
+    explicit — the caller supplies constant-velocity predictions in place
+    of the serial scan's warm-start chain (VERDICT r4 item 1: all frames
+    of a chunk track against the SAME keyframe, so the chain was an
+    initialization aid, not a semantic requirement)."""
+    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+
+    esm = config.gradient_at == "esm"
+    L = config.num_levels
+    B = next(iter(tgt_targets.values())).shape[0]
+    states = jnp.asarray(init_states, jnp.float32).reshape(B, 6)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        i0, geom = kf_prep[level]
+        st, its, gnorm, cost, nvalid, masked = fused_gn_level_batch(
+            i0, geom, tgt_targets[level],
+            intr.at_level(level), states,
+            config.min_depth, config.max_depth,
+            config.max_iterations[level],
+            config.min_gradient_norms[level],
+            config.lambda_steps[level],
+            H=H, W=W, sampling=config.sampling, interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta, esm=esm,
+            shared_source=True,
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def track_chunk_levelmajor(
+    kf_prep: dict,  # prep_keyframe products (traced pytree)
+    intensities: jax.Array,  # (B, H, W) frames to track (uint8 or float32)
+    intr: Intrinsics,
+    init_states: jax.Array,  # (B, 6) per-pair inits
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """Track a chunk of B frames against ONE keyframe, LEVEL-major, in one
+    device program (the fast-path replacement for the serial
+    track_sequence_chunk scan — VERDICT r4 item 1).  Per chunk the host
+    uploads only the frames' intensities in storage dtype: tracked frames
+    are targets only, so no depth transfer and no geometry pack
+    (prep_frame_targets)."""
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    tgt = jax.vmap(lambda i: prep_frame_targets(i, config))(intensities)
+    return track_pairs_levelmajor(
+        kf_prep, tgt, shape, intr, config, init_states, interpret
+    )
+
+
 def multi_kernel_eligible(config: PhovoConfig, shape, S: int) -> bool:
     """True when every ACTIVE pyramid level of `config` at frame `shape`
     fits the multi-stream kernel (S streams' level data VMEM-resident,

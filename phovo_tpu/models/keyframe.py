@@ -241,6 +241,7 @@ class KeyframeVisualOdometry:
     def run_chunked(
         self, frames: Iterable[RGBDFrame], chunk: int = 16,
         depth_scale: float | None = None,
+        levelmajor: str = "auto",
     ) -> Iterator[TrackedFrame]:
         """run() with chunked device tracking: B frames are tracked against
         the current keyframe in ONE dispatch (models/analytic.py
@@ -261,10 +262,22 @@ class KeyframeVisualOdometry:
         metric float happens ON DEVICE inside the tracking dispatch — the
         host uploads 2-byte counts instead of 4-byte floats and does no
         per-pixel work. Promoted keyframes are converted once at promotion.
+
+        levelmajor: 'auto' routes chunks through the LEVEL-major
+        shared-source batch kernel with constant-velocity inits whenever
+        track_levelmajor_eligible passes (the fast path — see track_lm
+        below), 'off' forces the serial warm-start scan
+        (track_sequence_chunk), 'interpret' forces the level-major path in
+        Pallas interpret mode (CPU tests only).
         """
         import jax
 
-        from phovo_tpu.models.analytic import track_sequence_chunk
+        from phovo_tpu.models.analytic import (
+            prep_keyframe,
+            track_chunk_levelmajor,
+            track_levelmajor_eligible,
+            track_sequence_chunk,
+        )
 
         cfg = self.odometry.config
         use_fused = getattr(self.odometry, "use_fused", True)
@@ -293,6 +306,26 @@ class KeyframeVisualOdometry:
         frame_index = 0
         buf: list[RGBDFrame] = []
 
+        # LEVEL-major tracking (VERDICT r4 item 1): all frames of a chunk
+        # track against the SAME keyframe, so the serial warm-start chain
+        # of track_sequence_chunk is an initialization aid, not a semantic
+        # requirement. When every active level has a shared-source batch
+        # tiling, the chunk runs through the sublane-batched kernel with
+        # EXPLICIT per-pair inits from a constant-velocity motion model:
+        # rel_pred(k) = rel_last · vel^(k+1), with vel the last measured
+        # inter-frame motion (identity at start / after stills). The
+        # keyframe's source packs are prepped ONCE at promotion
+        # (prep_keyframe) and shared by every chunk until the next one.
+        lm_interp = levelmajor == "interpret"
+        lm_track = levelmajor != "off" and (
+            lm_interp
+            or track_levelmajor_eligible(cfg, first.intensity.shape, use_fused)
+        )
+        kf_prep = None
+        kf_prep_index = -1
+        vel = np.eye(4)  # inter-frame camera motion (constant-velocity model)
+        prev_rel = np.eye(4)  # kf -> last processed frame
+
         # Device-resident frame buffer, aligned with `buf`: a python list of
         # per-frame (H, W) device arrays in storage dtype. Every frame is
         # uploaded exactly ONCE (device_put, no XLA program): when a
@@ -317,6 +350,11 @@ class KeyframeVisualOdometry:
                     break
                 buf.append(fr)
                 dev_I.append(jnp.asarray(np.asarray(fr.intensity)))
+                if lm_track:
+                    # tracked frames are TARGETS only: the level-major
+                    # tracker needs no depth at all (prep_frame_targets),
+                    # so the per-frame depth transfer disappears
+                    continue
                 if depth_scale is not None:
                     # storage dtype straight to the transfer buffer; the
                     # jitted tracker converts counts -> meters on device
@@ -341,13 +379,37 @@ class KeyframeVisualOdometry:
             )
             return jax.device_get(res)
 
+        def track_lm(kf):
+            # level-major chunk tracking with constant-velocity inits
+            nonlocal kf_prep, kf_prep_index
+            if kf.index != kf_prep_index:
+                kf_prep = prep_keyframe(
+                    kf.dev_intensity, kf.dev_depth, intr, cfg
+                )
+                kf_prep_index = kf.index
+            pad = chunk - len(buf)
+            I = jnp.stack(dev_I + [dev_I[-1]] * pad)
+            preds = np.empty((chunk, 6), np.float32)
+            r = prev_rel
+            for k in range(chunk):
+                r = r @ vel
+                preds[k] = se3.matrix_to_state_np(np.linalg.inv(r))
+            res = track_chunk_levelmajor(
+                kf_prep, I, intr, jnp.asarray(preds), cfg,
+                interpret=lm_interp,
+            )
+            return jax.device_get(res), preds
+
         while True:
             refill()
             if not buf:
                 break
             kf = self.keyframes[-1]
             chunk_init = last_rel_state
-            res = track(kf, chunk_init)
+            if lm_track:
+                res, preds = track_lm(kf)
+            else:
+                res = track(kf, chunk_init)
             consumed = 0
             for k in range(len(buf)):
                 fr = buf[k]
@@ -367,10 +429,15 @@ class KeyframeVisualOdometry:
                     # chunk scan
                     from phovo_tpu.models.analytic import align_analytic
 
-                    init_k = (
-                        np.asarray(res.state[k - 1], np.float32)
-                        if k > 0 else np.asarray(chunk_init, np.float32)
-                    )
+                    if lm_track:
+                        # the frame's own constant-velocity prediction
+                        # (the level-major path has no warm chain)
+                        init_k = preds[k]
+                    else:
+                        init_k = (
+                            np.asarray(res.state[k - 1], np.float32)
+                            if k > 0 else np.asarray(chunk_init, np.float32)
+                        )
                     fr_m = metric(fr)
                     rb = jax.device_get(
                         align_analytic(
@@ -389,6 +456,10 @@ class KeyframeVisualOdometry:
                 Rt = se3.pose_matrix_np(state)
                 rel = np.linalg.inv(Rt)
                 pose = kf.pose @ rel
+                if lm_track:
+                    # constant-velocity model update (both vs the same kf)
+                    vel = np.linalg.inv(prev_rel) @ rel
+                    prev_rel = rel
                 tf = TrackedFrame(
                     frame_index=frame_index,
                     timestamp=fr.timestamp,
@@ -416,6 +487,10 @@ class KeyframeVisualOdometry:
                     self._try_loop_closure(new_kf, defer=True)
                     self._maybe_incremental_solve(new_kf.index)
                     last_rel_state = np.zeros(6, np.float32)
+                    # the promoted frame IS the new keyframe: its relative
+                    # pose resets to identity (velocity carries over —
+                    # camera-frame motion is continuous across promotions)
+                    prev_rel = np.eye(4)
                     break  # re-track the chunk tail against the new keyframe
                 last_rel_state = state.astype(np.float32)
             buf = buf[consumed:]

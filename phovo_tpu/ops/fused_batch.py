@@ -81,7 +81,10 @@ def _check_streams_override(streams: int, interpret: bool) -> None:
         )
 
 
-def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
+def _batch_tilings(
+    H: int, W: int, esm: bool = False, bi: bool = False,
+    shared_src: bool = False,
+):
     """(S, NT) for the sublane-batched kernel at an H x W level, or None.
 
     S must be a sublane multiple (Pallas block shapes need the second-to-
@@ -89,6 +92,12 @@ def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
     of the per-pair NP — shrinking it trades per-tile overhead for a
     smaller working set, so fine levels can keep S = 8 by tiling finer.
     Prefers the largest S, then the largest NT that fits the budget.
+
+    shared_src: the keyframe-tracking layout — ONE source pack (intensity
+    row + geometry) shared by every stream of every block, so only the
+    per-stream target stacks scale with S. The shared pack is not
+    double-buffered across grid steps (same block every step), hence the
+    single 4-byte factor.
     """
     NP, NT_def = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
@@ -98,9 +107,16 @@ def _batch_tilings(H: int, W: int, esm: bool = False, bi: bool = False):
         t for t in range(128, NP + 1, 128)
         if NP % t == 0 and t <= NT_def
     ]
-    live = _LIVE_ROWS + (10 if bi else 0)  # depth block temporaries
+    # depth block temporaries (+10 bi); shared-source blocks additionally
+    # MATERIALIZE (S, NT) broadcasts of the GR geometry rows that the
+    # per-pair layout reads as input views (measured: S=32 at 120x160
+    # shared = 28.7 MB actual vs the uncorrected 26.3 MB model -> Mosaic
+    # stack OOM; with the correction the picker lands on S=16, which
+    # measures within 1.5% of the raised-limit S=32 anyway)
+    live = _LIVE_ROWS + (10 if bi else 0) + (GR if shared_src else 0)
     for S in (32, 16, 8):
-        inputs = 2 * 4 * S * (NP * (1 + GR) + CH * HP * W)
+        src_bytes = NP * (1 + GR) * (4 if shared_src else 2 * 4 * S)
+        inputs = src_bytes + 2 * 4 * S * CH * HP * W
         if inputs > _VMEM_BUDGET:
             continue
         fitting = [
@@ -119,6 +135,7 @@ def _batch_linearize(
     i0_ref, geom_ref, t_all_ref,
     S, H, W, NT, NP, bilinear, mix_mode,
     robust_loss, robust_delta, esm, bi,
+    shared_src=False,
 ):
     """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
 
@@ -126,7 +143,12 @@ def _batch_linearize(
     kernels: the batched analog of the per-pair 8x8/16x16 Gram
     (ops/fused.py _linearize_gram), computed as lane reductions over
     (S, NT) column products.  Returns (A [6][6], b [6], cost, nvalid,
-    masked)."""
+    masked).
+
+    shared_src: i0_ref is (1, NP) and geom_ref (GR, NP) — ONE source
+    frame (the keyframe) shared by all S streams; the (1, NT) source rows
+    broadcast against the (S, 1) per-stream states in every vector op."""
+    SS = 1 if shared_src else S  # source stream multiplicity
     HP = _ceil8(H)
     n_tiles = NP // NT
     tile_rows = max(1, NT // W)
@@ -151,17 +173,17 @@ def _batch_linearize(
     def tile_entries(step):
         if n_tiles == 1:
             off = 0
-            px = geom_ref[0 * S:1 * S, :]
-            py = geom_ref[1 * S:2 * S, :]
-            pz = geom_ref[2 * S:3 * S, :]
-            vd = geom_ref[3 * S:4 * S, :]
+            px = geom_ref[0 * SS:1 * SS, :]
+            py = geom_ref[1 * SS:2 * SS, :]
+            pz = geom_ref[2 * SS:3 * SS, :]
+            vd = geom_ref[3 * SS:4 * SS, :]
             i0 = i0_ref[:, :]
         else:
             off = pl.multiple_of(step * NT, 128)
-            px = geom_ref[0 * S:1 * S, pl.ds(off, NT)]
-            py = geom_ref[1 * S:2 * S, pl.ds(off, NT)]
-            pz = geom_ref[2 * S:3 * S, pl.ds(off, NT)]
-            vd = geom_ref[3 * S:4 * S, pl.ds(off, NT)]
+            px = geom_ref[0 * SS:1 * SS, pl.ds(off, NT)]
+            py = geom_ref[1 * SS:2 * SS, pl.ds(off, NT)]
+            pz = geom_ref[2 * SS:3 * SS, pl.ds(off, NT)]
+            vd = geom_ref[3 * SS:4 * SS, pl.ds(off, NT)]
             i0 = i0_ref[:, pl.ds(off, NT)]
 
         tx = R00 * px + R01 * py + R02 * pz + s0
@@ -300,11 +322,11 @@ def _batch_linearize(
             # ESM: average warped-target and hoisted source gradients
             # (geom rows 4/5, ops/fused.py pack_geometry)
             if n_tiles == 1:
-                sgx = geom_ref[4 * S:5 * S, :]
-                sgy = geom_ref[5 * S:6 * S, :]
+                sgx = geom_ref[4 * SS:5 * SS, :]
+                sgy = geom_ref[5 * SS:6 * SS, :]
             else:
-                sgx = geom_ref[4 * S:5 * S, pl.ds(off, NT)]
-                sgy = geom_ref[5 * S:6 * S, pl.ds(off, NT)]
+                sgx = geom_ref[4 * SS:5 * SS, pl.ds(off, NT)]
+                sgy = geom_ref[5 * SS:6 * SS, pl.ds(off, NT)]
             gxw = 0.5 * (gxw + sgx)
             gyw = 0.5 * (gyw + sgy)
 
@@ -415,6 +437,7 @@ def _fused_gn_batch_kernel(
     robust_delta=0.1,
     esm=False,
     bi=False,
+    shared_src=False,
 ):
     """S whole GN levels advanced in lockstep, batch on the sublane axis.
 
@@ -438,8 +461,8 @@ def _fused_gn_batch_kernel(
         i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
         S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta, esm=esm, bi=bi,
+        shared_src=shared_src,
     )
-
 
     def active(it, gnorm):
         return (it < max_iterations) & (gnorm >= min_gradient_norm)
@@ -515,6 +538,7 @@ def fused_gn_level_batch(
     esm: bool = False,
     streams: int | None = None,
     depth_gains=None,  # (B,) per-pair depth gains -> bi-objective mode
+    shared_source: bool = False,
 ):
     """Run ONE whole GN pyramid level for B independent pairs, S pairs per
     grid block (sublane-batched kernel above).  B is padded to a multiple
@@ -524,6 +548,12 @@ def fused_gn_level_batch(
     six-channel (B, 6*HP, W) stack ([I1; gx; gy; D1; dgx; dgy] per pair,
     ops/fused.py fused_gn_level's depth_cols layout).
 
+    shared_source: the keyframe-tracking layout — i0_flat is (1, NP) and
+    geom (GR, NP), ONE source frame shared by all B pairs (every grid
+    block reads the same source block; only the per-pair target stacks
+    scale with B). This is how a chunk of frames tracks against one
+    keyframe without materializing B copies of its geometry.
+
     Returns (states (B, 6), iterations (B,), gradient_norm (B,), cost (B,),
     num_valid (B,), band_masked (B,)) — per-pair semantics identical to
     ops/fused.py fused_gn_level_packs.
@@ -532,11 +562,11 @@ def fused_gn_level_batch(
     if bi and esm:
         raise ValueError("gradient_at='esm' is photometric-only")
     CH = 6 if bi else 3
-    B = i0_flat.shape[0]
+    B = t_all.shape[0] if shared_source else i0_flat.shape[0]
     NP, _ = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W, esm, bi)
+    tiling = _batch_tilings(H, W, esm, bi, shared_src=shared_source)
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
@@ -552,22 +582,29 @@ def fused_gn_level_batch(
         def _pad(a):
             return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
 
-        i0_flat = _pad(i0_flat)
-        geom = _pad(geom)
+        if not shared_source:
+            i0_flat = _pad(i0_flat)
+            geom = _pad(geom)
         t_all = _pad(t_all)
         init_states = _pad(jnp.asarray(init_states, jnp.float32))
         if bi:
             depth_gains = _pad(jnp.asarray(depth_gains, jnp.float32))
 
     # kernel layouts: i0 (NB*S, NP); geom TYPE-major per block
-    # (NB*GR*S, NP) rows [blk, t, s]; t_all STREAM-major (NB*S*3HP, W)
-    i0_k = i0_flat.reshape(NB * S, NP)
-    geom_k = (
-        jnp.asarray(geom)
-        .reshape(NB, S, GR, NP)
-        .transpose(0, 2, 1, 3)
-        .reshape(NB * GR * S, NP)
-    )
+    # (NB*GR*S, NP) rows [blk, t, s]; t_all STREAM-major (NB*S*3HP, W).
+    # shared_source: i0 (1, NP) and geom (GR, NP) verbatim, every grid
+    # block mapped to the same source block.
+    if shared_source:
+        i0_k = jnp.asarray(i0_flat).reshape(1, NP)
+        geom_k = jnp.asarray(geom).reshape(GR, NP)
+    else:
+        i0_k = i0_flat.reshape(NB * S, NP)
+        geom_k = (
+            jnp.asarray(geom)
+            .reshape(NB, S, GR, NP)
+            .transpose(0, 2, 1, 3)
+            .reshape(NB * GR * S, NP)
+        )
     t_k = jnp.asarray(t_all).reshape(NB * S * CH * HP, W)
     # states row: [state (6), 0, gain] — slot 7 carries the per-pair
     # bi-objective depth gain (state-invariant, read once by the kernel)
@@ -601,13 +638,32 @@ def fused_gn_level_batch(
         lambda_step=float(lambda_step),
         mix_mode=mix_mode, robust_loss=robust_loss,
         robust_delta=float(robust_delta), esm=esm, bi=bi,
+        shared_src=shared_source,
     )
     grid = (NB,)
+    if shared_source:
+        i0_spec = pl.BlockSpec(
+            (1, NP), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        geom_spec = pl.BlockSpec(
+            (GR, NP), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        i0_spec = pl.BlockSpec(
+            (S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        geom_spec = pl.BlockSpec(
+            (GR * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
     # the block working set is deliberately larger than the default 16 MB
     # scoped-vmem limit (v5e VMEM is larger; the budget above is calibrated
     # on-device) — raise the per-kernel limit to match the plan
+    # shared-source blocks: the (S, NT) broadcast materializations push the
+    # true stack a few MB past the non-shared calibration; the scoped limit
+    # is our own knob (v5e VMEM is far larger) — measured fine at +8 MB
     params = pltpu.CompilerParams(
         vmem_limit_bytes=max(_VMEM_BUDGET, 16 * 1024 * 1024)
+        + (8_000_000 if shared_source else 0)
     )
     state_out, diag = pl.pallas_call(
         kernel,
@@ -616,10 +672,8 @@ def fused_gn_level_batch(
         in_specs=[
             pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (GR * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            i0_spec,
+            geom_spec,
             pl.BlockSpec(
                 (S * CH * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -668,6 +722,7 @@ def _fused_tr_batch_kernel(
     mix_mode="f32",
     robust_loss="none",
     robust_delta=0.1,
+    shared_src=False,
 ):
     """S whole trust-region LM levels in lockstep (the batched analog of
     ops/fused.py _run_tr_loop — Ceres radius rule, Jacobi-scaled LM step,
@@ -681,7 +736,7 @@ def _fused_tr_batch_kernel(
         i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
         S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta, esm=False,
-        bi=False,
+        bi=False, shared_src=shared_src,
     )
 
     def flat(A, b, cost, nvalid):
@@ -830,15 +885,19 @@ def fused_tr_level_batch(
     robust_loss: str = "none",
     robust_delta: float = 0.1,
     streams: int | None = None,
+    shared_source: bool = False,
 ):
     """Run ONE whole trust-region LM level for B independent pairs, S per
     grid block.  Per-pair semantics identical to ops/fused.py
     fused_tr_level; returns (states (B, 6), iterations, cost,
-    gradient_norm, radius, num_valid, band_masked)."""
-    B = i0_flat.shape[0]
+    gradient_norm, radius, num_valid, band_masked).
+
+    shared_source: i0_flat (1, NP) + geom (4, NP) shared by all B pairs
+    (keyframe tracking; see fused_gn_level_batch)."""
+    B = t_all.shape[0] if shared_source else i0_flat.shape[0]
     NP, _ = _pick_tile_pixels(H, W)
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W)
+    tiling = _batch_tilings(H, W, shared_src=shared_source)
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
@@ -854,18 +913,23 @@ def fused_tr_level_batch(
         def _pad(a):
             return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
 
-        i0_flat = _pad(i0_flat)
-        geom = _pad(jnp.asarray(geom))
+        if not shared_source:
+            i0_flat = _pad(i0_flat)
+            geom = _pad(jnp.asarray(geom))
         t_all = _pad(jnp.asarray(t_all))
         init_states = _pad(jnp.asarray(init_states, jnp.float32))
 
-    i0_k = i0_flat.reshape(NB * S, NP)
-    geom_k = (
-        jnp.asarray(geom)
-        .reshape(NB, S, 4, NP)
-        .transpose(0, 2, 1, 3)
-        .reshape(NB * 4 * S, NP)
-    )
+    if shared_source:
+        i0_k = jnp.asarray(i0_flat).reshape(1, NP)
+        geom_k = jnp.asarray(geom).reshape(4, NP)
+    else:
+        i0_k = i0_flat.reshape(NB * S, NP)
+        geom_k = (
+            jnp.asarray(geom)
+            .reshape(NB, S, 4, NP)
+            .transpose(0, 2, 1, 3)
+            .reshape(NB * 4 * S, NP)
+        )
     t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, W)
     st_k = jnp.concatenate(
         [
@@ -887,10 +951,28 @@ def fused_tr_level_batch(
         S=S, H=H, W=W, NT=NT, NP=NP,
         bilinear=(sampling == "bilinear"), opts=opts,
         mix_mode=mix_mode, robust_loss=robust_loss,
-        robust_delta=float(robust_delta),
+        robust_delta=float(robust_delta), shared_src=shared_source,
     )
+    if shared_source:
+        i0_spec = pl.BlockSpec(
+            (1, NP), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        geom_spec = pl.BlockSpec(
+            (4, NP), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        i0_spec = pl.BlockSpec(
+            (S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        geom_spec = pl.BlockSpec(
+            (4 * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    # shared-source blocks: the (S, NT) broadcast materializations push the
+    # true stack a few MB past the non-shared calibration; the scoped limit
+    # is our own knob (v5e VMEM is far larger) — measured fine at +8 MB
     params = pltpu.CompilerParams(
         vmem_limit_bytes=max(_VMEM_BUDGET, 16 * 1024 * 1024)
+        + (8_000_000 if shared_source else 0)
     )
     state_out, diag = pl.pallas_call(
         kernel,
@@ -899,10 +981,8 @@ def fused_tr_level_batch(
         in_specs=[
             pl.BlockSpec((S, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (4 * S, NP), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            i0_spec,
+            geom_spec,
             pl.BlockSpec(
                 (S * 3 * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),

@@ -411,3 +411,32 @@ def test_incremental_pose_graph_matches_batch_finalize(loop_sequence):
     assert len(inc.loop_closures) >= 1
     for a, b in zip(t_inc, t_batch):
         np.testing.assert_allclose(a.pose[:3, 3], b.pose[:3, 3], atol=2e-3)
+
+
+@pytest.mark.parametrize("chunk", [4])
+def test_run_chunked_levelmajor_matches_run(loop_sequence, chunk):
+    """LEVEL-major keyframe tracking (shared-source batch kernel +
+    constant-velocity inits, VERDICT r4 item 1) must reproduce the
+    per-frame path's promotions, edges, and closures exactly, and its
+    poses within kernel-reassociation tolerance — the warm-start chain it
+    replaces was an initialization aid, not a semantic requirement (all
+    frames of a chunk track against the SAME keyframe; with enough
+    iterations both init schemes converge to the same optimum)."""
+    frames, _ = loop_sequence
+    ref = _make_kvo()
+    tracked_ref = list(ref.run(frames))
+    kvo = _make_kvo()
+    tracked = list(kvo.run_chunked(frames, chunk=chunk, levelmajor="interpret"))
+
+    assert len(tracked) == len(tracked_ref)
+    assert [k.frame_index for k in kvo.keyframes] == [
+        k.frame_index for k in ref.keyframes
+    ]
+    assert len(kvo.loop_closures) == len(ref.loop_closures)
+    assert [(i, j) for i, j, _ in kvo.odometry_edges] == [
+        (i, j) for i, j, _ in ref.odometry_edges
+    ]
+    for a, b in zip(tracked, tracked_ref):
+        assert a.frame_index == b.frame_index
+        assert a.keyframe_index == b.keyframe_index
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-3)

@@ -597,3 +597,98 @@ def test_tr_level_major_sequence_matches_scan_on_device():
     )
     Is, Ds = _seq_frames(intr)
     _lm_vs_scan(align_sequence_autodiff, Is, Ds, intr, cfg)
+
+
+def test_track_chunk_levelmajor_on_device():
+    """Keyframe-chunk tracking through the shared-source batch kernel on
+    real Mosaic lowering.  Two pins:
+
+    (a) the shared-source layout (ONE keyframe pack read by every grid
+        block) is BIT-IDENTICAL to the same batch kernel fed B replicated
+        per-pair packs — the layout change must not change a single bit;
+    (b) against the serial track_sequence_chunk scan (per-pair kernel,
+        same zero inits) the states agree at the established batch-vs-
+        per-pair kernel tolerance (lane-reduction vs MXU-Gram
+        reassociation; the plane scene's translation/yaw ambiguity
+        amplifies ulp differences on near-still pairs, so this bound is
+        wider than (a))."""
+    from phovo_tpu.models.analytic import (
+        align_pairs_levelmajor,
+        prep_frame_analytic,
+        prep_keyframe,
+        track_chunk_levelmajor,
+        track_levelmajor_eligible,
+        track_sequence_chunk,
+    )
+    from phovo_tpu.utils.config import PhovoConfig
+
+    intr = Intrinsics(
+        np.float32(160.0), np.float32(160.0), np.float32(79.5), np.float32(63.5)
+    )
+    cfg = PhovoConfig(
+        num_levels=3,
+        blur_filter_sizes=(0, 0, 0),
+        gradient_scales=(0.03125,) * 3,
+        max_iterations=(3, 5, 8),
+        lambda_steps=(1.0,) * 3,
+        min_gradient_norms=(0.0,) * 3,
+        sampling="nearest",
+        mix_mode="f32",
+    )
+    shape = (128, 160)
+    assert track_levelmajor_eligible(cfg, shape, True)
+    kf_I, kf_D, _, _, _ = make_pair(intr, shape=shape)
+    frames_i, frames_d = [], []
+    for k in range(6):
+        st = np.array([0.01, -0.005, 0.008, 0.004, -0.003, 0.002]) * (k + 1)
+        _, _, I1, D1, _ = make_pair(intr, shape=shape, state=st)
+        frames_i.append(I1)
+        frames_d.append(D1)
+    Is = jnp.asarray(np.stack(frames_i))
+    Ds = jnp.asarray(np.stack(frames_d))
+    B = 6
+    kf_prep = prep_keyframe(
+        jnp.asarray(kf_I), jnp.asarray(kf_D), intr, cfg
+    )
+    lm = jax.block_until_ready(
+        track_chunk_levelmajor(
+            kf_prep, Is, intr, jnp.zeros((B, 6), jnp.float32), cfg
+        )
+    )
+    # (a) replicated per-pair packs through the NON-shared batch kernel
+    kfp = prep_frame_analytic(
+        jnp.asarray(kf_I), jnp.asarray(kf_D, jnp.float32), intr, cfg
+    )
+    tgtp = jax.vmap(lambda i, d: prep_frame_analytic(i, d, intr, cfg))(
+        Is, Ds.astype(jnp.float32)
+    )
+    prep_pairs = {
+        lvl: (
+            jnp.concatenate([kfp[lvl][0]] * B, 0),
+            jnp.stack([kfp[lvl][1]] * B),
+            tgtp[lvl][2],
+        )
+        for lvl in kfp
+    }
+    batch = jax.block_until_ready(
+        align_pairs_levelmajor(prep_pairs, shape, intr, cfg)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm.state), np.asarray(batch.state)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm.iterations), np.asarray(batch.iterations)
+    )
+    # (b) vs the serial per-pair-kernel scan
+    scan = jax.block_until_ready(
+        track_sequence_chunk(
+            jnp.asarray(kf_I), jnp.asarray(kf_D), Is, Ds, intr,
+            jnp.zeros(6, jnp.float32), cfg, True, warm_start=False,
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm.state), np.asarray(scan.state), atol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lm.iterations), np.asarray(scan.iterations)
+    )
