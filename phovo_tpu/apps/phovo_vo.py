@@ -756,6 +756,13 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         f"({n / max(t_track, 1e-9):.1f} frames/s), "
         f"finalize {t_finalize:.1f} s{items}"
     )
+    if kvo.incremental_latencies:
+        lat = np.asarray(kvo.incremental_latencies)
+        print(
+            f"incremental: {len(lat)} solves, per-promotion latency "
+            f"mean {lat.mean():.3f} s / p90 {np.percentile(lat, 90):.3f} s "
+            f"/ max {lat.max():.3f} s (first {lat[0]:.3f} s)"
+        )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:
             out.write(tf.timestamp, tf.pose)

