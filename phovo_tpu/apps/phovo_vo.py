@@ -667,15 +667,27 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         ] if on
     ]
     chunked = args.chunk > 1
-    if chunked and args.backend != "analytic":
+    if chunked and args.backend not in ("analytic", "ceres"):
         ignored.append("--chunk")
         chunked = False
+    if chunked and args.backend == "ceres":
+        # the ceres backend has no serial chunk scan; it needs the
+        # level-major batched TR path. When the frame shape is known up
+        # front (raw loader) gate here; otherwise run_chunked raises
+        # with its own message on ineligible configs.
+        from phovo_tpu.models.autodiff import tr_track_levelmajor_eligible
+
+        if hasattr(seq, "height") and not tr_track_levelmajor_eligible(
+            vo.config, (seq.height, seq.width), "linearizer"
+        ):
+            ignored.append("--chunk (ceres: no level-major tiling)")
+            chunked = False
     if ignored:
         print(
             f"note: {', '.join(ignored)} not supported in keyframe mode "
             "(tracking is per-frame against the current keyframe; the "
             "back-end state lives in memory until finalize; chunked "
-            "tracking needs --backend analytic)",
+            "tracking needs --backend analytic or ceres)",
             file=sys.stderr,
         )
 
@@ -758,10 +770,15 @@ def _run_keyframe_mode(args, vo, seq) -> int:
     )
     if kvo.incremental_latencies:
         lat = np.asarray(kvo.incremental_latencies)
+        bd = np.asarray(kvo.incremental_breakdown)
         print(
             f"incremental: {len(lat)} solves, per-promotion latency "
-            f"mean {lat.mean():.3f} s / p90 {np.percentile(lat, 90):.3f} s "
-            f"/ max {lat.max():.3f} s (first {lat[0]:.3f} s)"
+            f"min {lat.min():.3f} s / mean {lat.mean():.3f} s / "
+            f"p90 {np.percentile(lat, 90):.3f} s "
+            f"/ max {lat.max():.3f} s (first {lat[0]:.3f} s); "
+            f"breakdown mean build {bd[:, 0].mean():.3f} s "
+            f"solve {bd[:, 1].mean():.3f} s rebase {bd[:, 2].mean():.3f} s; "
+            f"min build {bd[:, 0].min():.3f} s solve {bd[:, 1].min():.3f} s"
         )
     with TrajectoryWriter(args.output) as out:
         for tf in tracked:

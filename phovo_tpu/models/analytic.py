@@ -390,6 +390,7 @@ def align_pairs_levelmajor(
     intr: Intrinsics,
     config: PhovoConfig,
     interpret: bool = False,
+    sort_pairs: str = "auto",
 ) -> AlignmentResult:
     """LEVEL-major alignment of B independent pairs from per-pair packs.
 
@@ -401,24 +402,62 @@ def align_pairs_levelmajor(
     pairs' next level, and so on — the batched kernel amortizes the
     per-iteration elementwise/solve/loop overhead across S pairs per
     vector op, which the r4 ablation showed dominating every coarse
-    level."""
-    from phovo_tpu.ops.fused_batch import fused_gn_level_batch
+    level.
+
+    sort_pairs — difficulty-sorted block assignment (VERDICT r4 item 4):
+    a grid block's while_loop runs until its SLOWEST pair freezes, so
+    under early-exit semantics a mixed block burns the fast pairs' time.
+    Each level after the coarsest reorders pairs by the PREVIOUS level's
+    iteration count (a strong difficulty proxy: the same image content
+    and residual motion drive both), packing similar-cost pairs into the
+    same block.  Per-pair results are BIT-IDENTICAL either way — a
+    pair's trajectory through the kernel depends only on its own data
+    and init; block peers only decide how long the loop idles after it
+    froze — so sorting is semantically free.  'auto' enables it when any
+    active level can early-exit (min_gradient_norm > 0) and B spans
+    multiple blocks; 'on'/'off' force."""
+    from phovo_tpu.ops.fused_batch import _batch_tilings, fused_gn_level_batch
 
     esm = config.gradient_at == "esm"
     L = config.num_levels
     B = next(iter(prep_pairs.values()))[0].shape[0]
+    if sort_pairs == "auto":
+        do_sort = any(
+            config.min_gradient_norms[lv] > 0
+            for lv in range(L)
+            if config.max_iterations[lv] > 0
+        )
+    else:
+        do_sort = sort_pairs == "on"
     states = jnp.zeros((B, 6), jnp.float32)
     diags = [None] * L
     zeros = (
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
         jnp.zeros((B,)), jnp.zeros((B,)),
     )
+    # cur_idx[slot] = original pair index occupying that slot; identity
+    # until the first sorted level. States/diags are carried in SLOT
+    # order and scattered back to original order at the end.
+    cur_idx = None
+    prev_its = None
     for level in range(L - 1, -1, -1):
         if config.max_iterations[level] <= 0:
             diags[level] = zeros
             continue
         H, W = pyr.level_shape(shape, level)
         i0, geom, t_all = prep_pairs[level]
+        tiling = _batch_tilings(H, W, esm)
+        spans_blocks = tiling is not None and B > tiling[0]
+        if do_sort and prev_its is not None and spans_blocks:
+            # reorder by the previous level's iteration counts (stable,
+            # so equal-difficulty pairs keep their relative order)
+            order = jnp.argsort(prev_its, stable=True)
+            cur_idx = order if cur_idx is None else cur_idx[order]
+            states = states[order]
+        if cur_idx is not None:
+            i0 = i0[cur_idx]
+            geom = geom[cur_idx]
+            t_all = t_all[cur_idx]
         st, its, gnorm, cost, nvalid, masked = fused_gn_level_batch(
             i0, geom, t_all,
             intr.at_level(level), states,
@@ -431,7 +470,16 @@ def align_pairs_levelmajor(
             robust_delta=config.robust_delta, esm=esm,
         )
         states = st
+        prev_its = its
         diags[level] = (its, gnorm, cost, nvalid, masked)
+    if cur_idx is not None:
+        # scatter slot order back to original pair order
+        inv = jnp.argsort(cur_idx)
+        states = states[inv]
+        diags = [
+            tuple(d[k][inv] for k in range(5)) if d is not zeros else d
+            for d in diags
+        ]
     return AlignmentResult(
         state=states,
         iterations=jnp.stack([d[0] for d in diags], axis=1),

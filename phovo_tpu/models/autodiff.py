@@ -261,6 +261,105 @@ def align_sequence_autodiff_levelmajor(
     )
 
 
+def tr_track_levelmajor_eligible(
+    config: PhovoConfig, shape, jacobian_mode: str
+) -> bool:
+    """Keyframe-chunk tracking eligibility for the trust-region backend:
+    every active level has a SHARED-SOURCE batch tiling (strictly less
+    VMEM than the pairwise tiling). No warm-start exclusion — the chunk
+    tracker supplies explicit anchored inits (models/keyframe.py
+    run_chunked)."""
+    from phovo_tpu.models.base import levelmajor_enabled
+    from phovo_tpu.ops import pyramid as pyr
+
+    if not levelmajor_enabled():
+        return False
+    if jacobian_mode != "linearizer" or config.robust_loss == "tdist":
+        return False
+    if not (fused_ops._HAS_PALLAS and jax.default_backend() == "tpu"):
+        return False
+    from phovo_tpu.ops.fused_batch import _batch_tilings
+
+    for level in range(config.num_levels):
+        if config.max_iterations[level] <= 0:
+            continue
+        h, w = pyr.level_shape(tuple(shape), level)
+        if h > fused_ops.FUSED_MAX_H or _batch_tilings(
+            h, w, shared_src=True
+        ) is None:
+            return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def track_chunk_levelmajor_tr(
+    kf_prep: dict,  # level -> (i0 (1, NP), geom (4, NP)) — prep_keyframe
+    intensities: jax.Array,  # (B, H, W) frames to track (uint8 or float32)
+    intr: Intrinsics,
+    init_states: jax.Array,  # (B, 6) explicit per-pair inits
+    config: PhovoConfig,
+    interpret: bool = False,
+) -> AlignmentResult:
+    """Track a chunk of B frames against ONE keyframe with the TRUST-
+    REGION backend, LEVEL-major (the ceres-backend analog of
+    models/analytic.track_chunk_levelmajor — VERDICT r4 item 6: the most
+    accurate per-pair aligner can now drive the keyframe pipeline at
+    chunked speed). Shared-source batched TR kernel per level
+    (ops/fused_batch.fused_tr_level_batch); frames are targets only.
+
+    The keyframe prep must be 4-row (prep_keyframe with a non-esm
+    config; the TR backend always samples warped-target gradients)."""
+    import dataclasses as _dc
+
+    from phovo_tpu.models.analytic import prep_frame_targets
+    from phovo_tpu.ops import pyramid as pyr
+    from phovo_tpu.ops.fused_batch import fused_tr_level_batch
+
+    intensities = device_unit_intensity(intensities).astype(jnp.float32)
+    shape = intensities.shape[1:]
+    prep_cfg = (
+        _dc.replace(config, gradient_at="warped")
+        if config.gradient_at == "esm" else config
+    )
+    tgt = jax.vmap(lambda i: prep_frame_targets(i, prep_cfg))(intensities)
+    B = intensities.shape[0]
+    L = config.num_levels
+    states = jnp.asarray(init_states, jnp.float32).reshape(B, 6)
+    diags = [None] * L
+    zeros = (
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    for level in range(L - 1, -1, -1):
+        if config.max_iterations[level] <= 0:
+            diags[level] = zeros
+            continue
+        H, W = pyr.level_shape(shape, level)
+        i0, geom = kf_prep[level]
+        st, its, cost, gnorm, radius, nvalid, masked = fused_tr_level_batch(
+            i0, geom, tgt[level],
+            intr.at_level(level), states,
+            config.min_depth, config.max_depth,
+            config.trust_region_options(level),
+            H=H, W=W, sampling="bilinear", interpret=interpret,
+            mix_mode=config.mix_mode, robust_loss=config.robust_loss,
+            robust_delta=config.robust_delta,
+            shared_source=True,
+        )
+        states = st
+        diags[level] = (its, gnorm, cost, nvalid, masked)
+    return AlignmentResult(
+        state=states,
+        iterations=jnp.stack([d[0] for d in diags], axis=1),
+        gradient_norm=jnp.stack([d[1] for d in diags], axis=1),
+        cost=jnp.stack([d[2] for d in diags], axis=1),
+        num_valid=jnp.stack([d[3] for d in diags], axis=1),
+        band_masked=jnp.stack(
+            [jnp.asarray(d[4], jnp.float32) for d in diags], axis=1
+        ),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "jacobian_mode", "warm_start")
 )

@@ -115,8 +115,11 @@ class KeyframeVisualOdometry:
         self.incremental_solves = 0
         # wall seconds of each incremental re-solve (graph build + closure
         # flush + bucketed solve + rebase), for the map-scale latency bound
-        # (VERDICT r4 item 2) — read after a run for per-promotion stats
+        # (VERDICT r4 item 2) — read after a run for per-promotion stats;
+        # incremental_breakdown itemizes each as (build+flush,
+        # solve+fetch, rebase)
         self.incremental_latencies: list[float] = []
+        self.incremental_breakdown: list[tuple] = []
         # banded-window fallback (models/base.py band_masked_fraction): the
         # per-frame run() path inherits the gate from odometry.optimize();
         # run_chunked and the batched closure dispatches bypass the object
@@ -257,9 +260,12 @@ class KeyframeVisualOdometry:
         count is (1 + B/P) per B frames. Trajectories are identical to
         run(): same warm-start carry, same triggers, same edges.
 
-        Requires the analytic backend (config/use_fused/intrinsics are read
-        off the odometry object; tracking dispatches bypass its one-pair
-        object API).
+        Supported backends: analytic (serial scan or level-major) and
+        ceres/trust-region (level-major only — the most accurate per-pair
+        aligner driving the keyframe pipeline at chunked speed, VERDICT
+        r4 item 6; config/intrinsics are read off the odometry object;
+        tracking dispatches bypass its one-pair object API). A ceres
+        backend whose config is not level-major eligible raises.
 
         depth_scale: when set, incoming frames carry STORAGE-dtype depth
         (uint16 counts, e.g. raw-replay memmap views) and conversion to
@@ -327,11 +333,41 @@ class KeyframeVisualOdometry:
         # frames; BASELINE.md r5 "Keyframe level-major tracking"). The
         # keyframe's source packs are prepped ONCE at promotion
         # (prep_keyframe) and shared by every chunk until the next one.
-        lm_interp = levelmajor == "interpret"
-        lm_track = levelmajor != "off" and (
-            lm_interp
-            or track_levelmajor_eligible(cfg, first.intensity.shape, use_fused)
+        from phovo_tpu.models.autodiff import (
+            PhotoconsistencyOdometryAutodiff,
+            tr_track_levelmajor_eligible,
+            track_chunk_levelmajor_tr,
         )
+
+        is_tr = isinstance(self.odometry, PhotoconsistencyOdometryAutodiff)
+        lm_interp = levelmajor == "interpret"
+        if is_tr:
+            lm_track = levelmajor != "off" and (
+                lm_interp
+                or tr_track_levelmajor_eligible(
+                    cfg, first.intensity.shape, self.odometry.jacobian_mode
+                )
+            )
+            if not lm_track:
+                raise RuntimeError(
+                    "run_chunked with the ceres backend needs the "
+                    "level-major path (TPU + linearizer mode + batch "
+                    "tilings at every active level); use run() instead"
+                )
+            track_fn = track_chunk_levelmajor_tr
+        else:
+            lm_track = levelmajor != "off" and (
+                lm_interp
+                or track_levelmajor_eligible(
+                    cfg, first.intensity.shape, use_fused
+                )
+            )
+            track_fn = track_chunk_levelmajor
+        # the TR path always samples warped-target gradients, so its
+        # keyframe prep must be the 4-row pack even under esm configs
+        prep_cfg = cfg
+        if is_tr and cfg.gradient_at == "esm":
+            prep_cfg = dataclasses.replace(cfg, gradient_at="warped")
         kf_prep = None
         kf_prep_index = -1
 
@@ -395,7 +431,7 @@ class KeyframeVisualOdometry:
             nonlocal kf_prep, kf_prep_index
             if kf.index != kf_prep_index:
                 kf_prep = prep_keyframe(
-                    kf.dev_intensity, kf.dev_depth, intr, cfg
+                    kf.dev_intensity, kf.dev_depth, intr, prep_cfg
                 )
                 kf_prep_index = kf.index
             pad = chunk - len(buf)
@@ -403,7 +439,7 @@ class KeyframeVisualOdometry:
             preds = np.broadcast_to(
                 np.asarray(init, np.float32), (chunk, 6)
             ).copy()
-            res = track_chunk_levelmajor(
+            res = track_fn(
                 kf_prep, I, intr, jnp.asarray(preds), cfg,
                 interpret=lm_interp,
             )
@@ -433,14 +469,12 @@ class KeyframeVisualOdometry:
                     res.band_masked[k], res.num_valid[k]
                 ) > self.band_fallback:
                     # the banded kernels under-observed this frame (fast
-                    # in-plane rotation): re-track it on the exact
-                    # full-band path with the same warm init it had in the
-                    # chunk scan
-                    from phovo_tpu.models.analytic import align_analytic
-
+                    # in-plane rotation): re-track it on the backend's
+                    # exact full-band path with the same init it had in
+                    # the chunk dispatch
                     if lm_track:
-                        # the frame's own constant-velocity prediction
-                        # (the level-major path has no warm chain)
+                        # the frame's anchored init (the level-major path
+                        # has no warm chain)
                         init_k = preds[k]
                     else:
                         init_k = (
@@ -449,11 +483,11 @@ class KeyframeVisualOdometry:
                         )
                     fr_m = metric(fr)
                     rb = jax.device_get(
-                        align_analytic(
+                        self.odometry.align_full_band(
                             kf.dev_intensity, kf.dev_depth,
                             jnp.asarray(np.asarray(fr_m.intensity)),
                             jnp.asarray(np.asarray(fr_m.depth, np.float32)),
-                            intr, jnp.asarray(init_k), cfg, use_fused=False,
+                            intr, jnp.asarray(init_k),
                         )
                     )
                     self.band_fallbacks += 1
@@ -514,14 +548,21 @@ class KeyframeVisualOdometry:
 
         _t0 = _time.perf_counter()
         graph = self.build_pose_graph()
+        _t1 = _time.perf_counter()
         states, _ = optimize_pose_graph(
             graph, iterations=10, solver=self.pg_solver, bucket=True
         )
-        states = np.asarray(states, dtype=np.float64)
+        states = np.asarray(states, dtype=np.float64)  # blocks on device
+        _t2 = _time.perf_counter()
         for k, kf in enumerate(self.keyframes):
             kf.pose = se3.pose_matrix_np(states[k])
+        _t3 = _time.perf_counter()
         self.incremental_solves += 1
-        self.incremental_latencies.append(_time.perf_counter() - _t0)
+        self.incremental_latencies.append(_t3 - _t0)
+        # (build+flush, solve+fetch, rebase) wall breakdown per re-solve
+        self.incremental_breakdown.append(
+            (_t1 - _t0, _t2 - _t1, _t3 - _t2)
+        )
 
     def _promote(self, fr: RGBDFrame, frame_index: int, pose: np.ndarray) -> Keyframe:
         kf = Keyframe(
@@ -769,12 +810,14 @@ class KeyframeVisualOdometry:
     def build_pose_graph(self) -> PoseGraph:
         self.flush_loop_closures()  # gate any in-flight closure batches
         # batched host-side matrix->state (a per-keyframe/per-edge loop
-        # or a device dispatch here costs M+K host<->device round-trips)
-        states = jnp.asarray(
-            se3.matrix_to_state_np(
-                np.stack([k.pose for k in self.keyframes])
-            ).astype(np.float32)
-        )
+        # or a device dispatch here costs M+K host<->device round-trips).
+        # The graph stays NUMPY end to end: optimize_pose_graph pads
+        # host-side and its jitted solve ingests each array in one
+        # transfer — eager per-array device concats each paid a round
+        # trip on a congested remote link (r5 incremental measurement)
+        states = se3.matrix_to_state_np(
+            np.stack([k.pose for k in self.keyframes])
+        ).astype(np.float32)
         ei = [i for i, _, _ in self.odometry_edges] + [
             lc.from_kf for lc in self.loop_closures
         ]
@@ -794,10 +837,10 @@ class KeyframeVisualOdometry:
             zs = se3.matrix_to_state_np(np.stack(rels)).astype(np.float32)
         return PoseGraph(
             states=states,
-            edges_i=jnp.asarray(ei, jnp.int32),
-            edges_j=jnp.asarray(ej, jnp.int32),
-            measurements=jnp.asarray(zs),
-            weights=jnp.asarray(ws, jnp.float32),
+            edges_i=np.asarray(ei, np.int32),
+            edges_j=np.asarray(ej, np.int32),
+            measurements=np.asarray(zs, np.float32),
+            weights=np.asarray(ws, np.float32),
         )
 
     def finalize(

@@ -136,6 +136,7 @@ def _batch_linearize(
     S, H, W, NT, NP, bilinear, mix_mode,
     robust_loss, robust_delta, esm, bi,
     shared_src=False,
+    row_mix="reduce",
 ):
     """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
 
@@ -311,13 +312,47 @@ def _batch_linearize(
                 )
             else:
                 roww = jnp.where(iota_h == rl_s, 1.0, 0.0)
-            for ch in range(CH):
-                samp_rows[ch].append(
-                    jnp.sum(C_ch[ch] * roww, axis=0, keepdims=True)
-                )
-        i1w = jnp.concatenate(samp_rows[0], axis=0)  # (S, NT)
-        gxw = jnp.concatenate(samp_rows[1], axis=0)
-        gyw = jnp.concatenate(samp_rows[2], axis=0)
+            if row_mix == "onesdot":
+                # defer the reductions: collect the masked products and
+                # reduce ALL streams x channels with ONE block-diagonal
+                # MXU dot below (VERDICT r4 item 3a)
+                for ch in range(CH):
+                    samp_rows[ch].append(C_ch[ch] * roww)
+            else:
+                for ch in range(CH):
+                    samp_rows[ch].append(
+                        jnp.sum(C_ch[ch] * roww, axis=0, keepdims=True)
+                    )
+        if row_mix == "onesdot":
+            # Pall rows ordered [ch][s][band_row]; the block-diagonal ones
+            # matrix M (CH*S, CH*S*BAND) with M[r, c] = (c // BAND == r)
+            # reduces every stream x channel band in ONE 2D MXU dot —
+            # output row ch*S + s is stream s's channel-ch sampled row.
+            NR = CH * S
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (NR, NR * BAND), 0)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (NR, NR * BAND), 1)
+            M = (iota_c // BAND == iota_r).astype(jnp.float32)
+            Pall = jnp.concatenate(
+                [p for ch in range(CH) for p in samp_rows[ch]], axis=0
+            )  # (CH*S*BAND, NT)
+            R = jax.lax.dot_general(
+                M, Pall, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CH*S, NT)
+            i1w = R[0:S]
+            gxw = R[S:2 * S]
+            gyw = R[2 * S:3 * S]
+            if bi:
+                samp_rows = [
+                    [None] * S, [None] * S, [None] * S,
+                    [R[3 * S + s:3 * S + s + 1] for s in range(S)],
+                    [R[4 * S + s:4 * S + s + 1] for s in range(S)],
+                    [R[5 * S + s:5 * S + s + 1] for s in range(S)],
+                ]
+        else:
+            i1w = jnp.concatenate(samp_rows[0], axis=0)  # (S, NT)
+            gxw = jnp.concatenate(samp_rows[1], axis=0)
+            gyw = jnp.concatenate(samp_rows[2], axis=0)
         if esm:
             # ESM: average warped-target and hoisted source gradients
             # (geom rows 4/5, ops/fused.py pack_geometry)
@@ -438,6 +473,7 @@ def _fused_gn_batch_kernel(
     esm=False,
     bi=False,
     shared_src=False,
+    row_mix="reduce",
 ):
     """S whole GN levels advanced in lockstep, batch on the sublane axis.
 
@@ -461,7 +497,7 @@ def _fused_gn_batch_kernel(
         i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
         S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta, esm=esm, bi=bi,
-        shared_src=shared_src,
+        shared_src=shared_src, row_mix=row_mix,
     )
 
     def active(it, gnorm):
@@ -539,6 +575,7 @@ def fused_gn_level_batch(
     streams: int | None = None,
     depth_gains=None,  # (B,) per-pair depth gains -> bi-objective mode
     shared_source: bool = False,
+    row_mix: str | None = None,
 ):
     """Run ONE whole GN pyramid level for B independent pairs, S pairs per
     grid block (sublane-batched kernel above).  B is padded to a multiple
@@ -561,6 +598,10 @@ def fused_gn_level_batch(
     bi = depth_gains is not None
     if bi and esm:
         raise ValueError("gradient_at='esm' is photometric-only")
+    if row_mix is None:
+        import os
+
+        row_mix = os.environ.get("PHOVO_ROWMIX", "reduce")
     CH = 6 if bi else 3
     B = t_all.shape[0] if shared_source else i0_flat.shape[0]
     NP, _ = _pick_tile_pixels(H, W)
@@ -638,7 +679,7 @@ def fused_gn_level_batch(
         lambda_step=float(lambda_step),
         mix_mode=mix_mode, robust_loss=robust_loss,
         robust_delta=float(robust_delta), esm=esm, bi=bi,
-        shared_src=shared_source,
+        shared_src=shared_source, row_mix=row_mix,
     )
     grid = (NB,)
     if shared_source:

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from phovo_tpu.ops import se3
@@ -120,11 +121,18 @@ def optimize_pose_graph(
     With a mesh, edges are padded to a multiple of the axis size and sharded;
     each device accumulates its block contributions and a psum merges them.
 
-    bucket=True pads the pose count to a multiple of 32 and the edge count
-    to a power of two before entering jit: without it every distinct
-    (M keyframes, K edges) pair compiles (and persistent-cache-misses) its
-    own program — tens of seconds per novel graph size, which dominated
-    keyframe-mode finalize wall-clock. Padding poses have no edges (their
+    bucket=True pads BOTH the pose count and the edge count to powers of
+    two (floor 32 / 64) before entering jit: without it every distinct
+    (M keyframes, K edges) pair compiles its own program — tens of
+    seconds per novel graph size, which dominated keyframe-mode finalize
+    wall-clock. Geometric growth matters for the INCREMENTAL mode
+    (r5 measurement): with the earlier multiple-of-32 pose bucketing,
+    a growing map crossed a new bucket every ~32 keyframes, so at
+    --pg-incremental cadence nearly EVERY re-solve compiled (~4-15 s
+    each; the persistent compilation cache does not survive processes on
+    the axon tunnel — measured 36 s cold-process vs 61 ms in-process).
+    Power-of-two buckets bound the lifetime compile count at O(log M);
+    the steady-state warm re-solve is ~60-200 ms. Padding poses have no edges (their
     normal-equation rows are damping-only, step exactly 0) and padding
     edges carry i = -1 (masked inside the accumulators), so the returned
     states are numerically identical to the unbucketed solve; the sliced
@@ -149,17 +157,27 @@ def optimize_pose_graph(
         raise ValueError(f"unknown solver {solver!r}")
     ei, ej, z, w = graph.edges_i, graph.edges_j, graph.measurements, graph.weights
     states0 = graph.states
+    # host-side padding when the graph arrives as numpy (the keyframe
+    # back-end builds it host-side): each eager jnp.concatenate below
+    # would otherwise be its own device dispatch — on a congested
+    # remote-attached link those round trips dominated the incremental
+    # re-solve latency (r5 measurement; the jitted call then uploads each
+    # padded array exactly once)
+    host = not isinstance(ei, jax.Array)
+    xp = np if host else jnp
+    i32 = np.int32 if host else jnp.int32
+    f32 = np.float32 if host else jnp.float32
     if bucket:
-        Mb = max(8, -(-M // 32) * 32)
+        Mb = max(32, 1 << (M - 1).bit_length())
         Kb = max(64, 1 << (K - 1).bit_length()) if K else 64
-        states0 = jnp.concatenate(
-            [states0, jnp.zeros((Mb - M, 6), jnp.float32)]
+        states0 = xp.concatenate(
+            [states0, xp.zeros((Mb - M, 6), f32)]
         )
         kpad = Kb - K
-        ei = jnp.concatenate([ei, -jnp.ones(kpad, jnp.int32)])
-        ej = jnp.concatenate([ej, -jnp.ones(kpad, jnp.int32)])
-        z = jnp.concatenate([z, jnp.zeros((kpad, 6), jnp.float32)])
-        w = jnp.concatenate([w, jnp.zeros(kpad, jnp.float32)])
+        ei = xp.concatenate([ei, -xp.ones(kpad, i32)])
+        ej = xp.concatenate([ej, -xp.ones(kpad, i32)])
+        z = xp.concatenate([z, xp.zeros((kpad, 6), f32)])
+        w = xp.concatenate([w, xp.zeros(kpad, f32)])
         K = Kb  # the mesh padding below aligns the BUCKETED edge count
         graph = graph._replace(states=states0)
     if mesh is not None:
@@ -167,10 +185,10 @@ def optimize_pose_graph(
         for a in mesh.axis_names:
             n *= mesh.shape[a]
         pad = (-K) % n
-        ei = jnp.concatenate([ei, -jnp.ones(pad, jnp.int32)])
-        ej = jnp.concatenate([ej, -jnp.ones(pad, jnp.int32)])
-        z = jnp.concatenate([z, jnp.zeros((pad, 6), jnp.float32)])
-        w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)])
+        ei = xp.concatenate([ei, -xp.ones(pad, i32)])
+        ej = xp.concatenate([ej, -xp.ones(pad, i32)])
+        z = xp.concatenate([z, xp.zeros((pad, 6), f32)])
+        w = xp.concatenate([w, xp.zeros(pad, f32)])
     states, cost = _optimize_pose_graph_jit(
         graph.states, ei, ej, z, w, jnp.float32(damping),
         mesh=mesh, iterations=iterations, fixed_first=fixed_first,

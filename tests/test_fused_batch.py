@@ -278,3 +278,66 @@ def test_tr_batch_kernel_matches_per_pair(intr):
             float(np.asarray(outb[5])[k]), float(refs[k][5]), atol=0.5,
             err_msg=f"pair {k} num_valid",
         )
+
+
+def test_levelmajor_sort_pairs_bit_identical(intr, small_pair, monkeypatch):
+    """Difficulty-sorted block assignment (VERDICT r4 item 4) must not
+    change a single bit of any pair's result: sorting only regroups which
+    pairs share a grid block's while_loop, and a frozen pair's state stops
+    updating regardless of how long its block keeps looping."""
+    import phovo_tpu.ops.fused_batch as FB
+    from phovo_tpu.models.analytic import (
+        align_pairs_levelmajor,
+        prep_frame_analytic,
+    )
+    from phovo_tpu.utils.config import PhovoConfig
+
+    I0, D0, I1, D1, _ = small_pair
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(6, 8), lambda_steps=(1.0, 1.0),
+        # early exit ON so iteration counts differ across pairs
+        min_gradient_norms=(5.0, 5.0), sampling="nearest", mix_mode="f32",
+    )
+    # force tiny blocks (S=2) so B=6 spans 3 blocks even in interpret mode
+    orig = FB._batch_tilings
+
+    def tiny(H, W, esm=False, bi=False, shared_src=False):
+        t = orig(H, W, esm, bi, shared_src)
+        return None if t is None else (2, t[1])
+
+    monkeypatch.setattr(FB, "_batch_tilings", tiny)
+
+    frames_i = [I0, I1, I0 * 0.95 + 0.02, I1 * 0.9 + 0.05, I0, I1]
+    frames_d = [D0, D1, D0, D1, D0, D1]
+    import jax
+
+    prep = [
+        prep_frame_analytic(
+            jnp.asarray(i), jnp.asarray(d, jnp.float32), intr, cfg
+        )
+        for i, d in zip(frames_i, frames_d)
+    ]
+    B = 5
+    prep_pairs = {
+        lvl: (
+            jnp.concatenate([prep[k][lvl][0] for k in range(B)], axis=0),
+            jnp.stack([prep[k][lvl][1] for k in range(B)]),
+            jnp.stack([prep[k + 1][lvl][2] for k in range(B)]),
+        )
+        for lvl in prep[0]
+    }
+    shape = I0.shape
+    on = jax.block_until_ready(align_pairs_levelmajor(
+        prep_pairs, shape, intr, cfg, interpret=True, sort_pairs="on"
+    ))
+    off = jax.block_until_ready(align_pairs_levelmajor(
+        prep_pairs, shape, intr, cfg, interpret=True, sort_pairs="off"
+    ))
+    # iteration counts must differ across pairs for the test to mean much
+    assert len(set(np.asarray(off.iterations)[:, 0].tolist())) > 1
+    for f in on._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(on, f)), np.asarray(getattr(off, f)),
+            err_msg=f,
+        )

@@ -440,3 +440,50 @@ def test_run_chunked_levelmajor_matches_run(loop_sequence, chunk):
         assert a.frame_index == b.frame_index
         assert a.keyframe_index == b.keyframe_index
         np.testing.assert_allclose(a.pose, b.pose, atol=1e-3)
+
+
+def test_run_chunked_ceres_levelmajor_matches_run(loop_sequence):
+    """The trust-region (ceres) backend driving the keyframe pipeline at
+    chunked speed (VERDICT r4 item 6): run_chunked through the shared-
+    source batched TR kernel must reproduce the per-frame TR path's
+    promotions/edges and poses within kernel tolerance."""
+    from phovo_tpu.models.autodiff import PhotoconsistencyOdometryAutodiff
+
+    cfg = PhovoConfig(
+        num_levels=2,
+        blur_filter_sizes=(0, 0),
+        gradient_scales=(0.0625, 0.0625),
+        max_iterations=(10, 12),
+        function_tolerances=(1e-9,) * 2,
+        gradient_tolerances=(1e-12,) * 2,
+        parameter_tolerances=(1e-10,) * 2,
+        initial_trust_region_radii=(1e4,) * 2,
+        max_trust_region_radii=(1e8,) * 2,
+        min_trust_region_radii=(1e-32,) * 2,
+        min_relative_decreases=(1e-3,) * 2,
+        sampling="bilinear",
+    )
+    frames, _ = loop_sequence
+
+    def mk():
+        vo = PhotoconsistencyOdometryAutodiff(cfg)
+        vo.set_intrinsic_matrix(np.asarray(INTR.matrix()))
+        return KeyframeVisualOdometry(
+            vo, kf_translation=0.08, kf_rotation=0.1,
+            loop_radius=0.15, loop_min_gap=2, loop_weight=50.0,
+        )
+
+    ref = mk()
+    tracked_ref = list(ref.run(frames))
+    kvo = mk()
+    tracked = list(kvo.run_chunked(frames, chunk=4, levelmajor="interpret"))
+    assert len(tracked) == len(tracked_ref)
+    assert [k.frame_index for k in kvo.keyframes] == [
+        k.frame_index for k in ref.keyframes
+    ]
+    assert [(i, j) for i, j, _ in kvo.odometry_edges] == [
+        (i, j) for i, j, _ in ref.odometry_edges
+    ]
+    for a, b in zip(tracked, tracked_ref):
+        assert a.keyframe_index == b.keyframe_index
+        np.testing.assert_allclose(a.pose, b.pose, atol=2e-3)
