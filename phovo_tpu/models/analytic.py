@@ -390,7 +390,7 @@ def align_pairs_levelmajor(
     intr: Intrinsics,
     config: PhovoConfig,
     interpret: bool = False,
-    sort_pairs: str = "auto",
+    sort_pairs: str = "off",
 ) -> AlignmentResult:
     """LEVEL-major alignment of B independent pairs from per-pair packs.
 
@@ -407,15 +407,23 @@ def align_pairs_levelmajor(
     sort_pairs — difficulty-sorted block assignment (VERDICT r4 item 4):
     a grid block's while_loop runs until its SLOWEST pair freezes, so
     under early-exit semantics a mixed block burns the fast pairs' time.
-    Each level after the coarsest reorders pairs by the PREVIOUS level's
-    iteration count (a strong difficulty proxy: the same image content
-    and residual motion drive both), packing similar-cost pairs into the
-    same block.  Per-pair results are BIT-IDENTICAL either way — a
+    'on'/'auto' reorders pairs at each level after the coarsest by the
+    PREVIOUS level's iteration count, packing similar-cost pairs into
+    the same block.  Per-pair results are BIT-IDENTICAL either way — a
     pair's trajectory through the kernel depends only on its own data
     and init; block peers only decide how long the loop idles after it
-    froze — so sorting is semantically free.  'auto' enables it when any
-    active level can early-exit (min_gradient_norm > 0) and B spans
-    multiple blocks; 'on'/'off' force."""
+    froze (tests/test_fused_batch.py pins this).
+
+    DEFAULT IS OFF — refuted by measurement (BASELINE.md r5): on the
+    256-chunk VGA early-exit workload sorting costs ~9% (permute +
+    bookkeeping) and recovers nothing, both on a homogeneous chunk (no
+    spread to exploit — the 9% is the pure overhead bound) and on a
+    deliberately heterogeneous one (every 4th pair 30x the motion): the
+    shipped gradient-norm thresholds terminate nearly every pair in 1-2
+    iterations per level (measured spread p10=p90=1 at two of three
+    active levels), so there is no iteration spread for grouping to
+    exploit.  Kept as an opt-in for workloads with genuinely bimodal
+    convergence."""
     from phovo_tpu.ops.fused_batch import _batch_tilings, fused_gn_level_batch
 
     esm = config.gradient_at == "esm"

@@ -705,6 +705,9 @@ def fused_gn_level_batch(
     params = pltpu.CompilerParams(
         vmem_limit_bytes=max(_VMEM_BUDGET, 16 * 1024 * 1024)
         + (8_000_000 if shared_source else 0)
+        # onesdot materializes the (CH*S*BAND, NT) masked products the
+        # reduce path folds eagerly — experiment-only headroom
+        + (16_000_000 if row_mix == "onesdot" else 0)
     )
     state_out, diag = pl.pallas_call(
         kernel,
