@@ -180,7 +180,9 @@ def tr_levelmajor_eligible(
         if config.max_iterations[level] <= 0:
             continue
         h, w = pyr.level_shape(tuple(shape), level)
-        if h > fused_ops.FUSED_MAX_H or _batch_tilings(h, w) is None:
+        if h > fused_ops.FUSED_MAX_H or _batch_tilings(
+            h, w, tr=True
+        ) is None:
             return False
     return True
 
@@ -285,7 +287,7 @@ def tr_track_levelmajor_eligible(
             continue
         h, w = pyr.level_shape(tuple(shape), level)
         if h > fused_ops.FUSED_MAX_H or _batch_tilings(
-            h, w, shared_src=True
+            h, w, shared_src=True, tr=True
         ) is None:
             return False
     return True

@@ -83,7 +83,7 @@ def _check_streams_override(streams: int, interpret: bool) -> None:
 
 def _batch_tilings(
     H: int, W: int, esm: bool = False, bi: bool = False,
-    shared_src: bool = False,
+    shared_src: bool = False, tr: bool = False,
 ):
     """(S, NT) for the sublane-batched kernel at an H x W level, or None.
 
@@ -113,7 +113,14 @@ def _batch_tilings(
     # shared = 28.7 MB actual vs the uncorrected 26.3 MB model -> Mosaic
     # stack OOM; with the correction the picker lands on S=16, which
     # measures within 1.5% of the raised-limit S=32 anyway)
-    live = _LIVE_ROWS + (10 if bi else 0) + (GR if shared_src else 0)
+    # tr: the trust-region kernel linearizes TWICE per body (trial step
+    # accept/reject), so the two linearizations' (S, NT) temporaries
+    # overlap on the Mosaic stack — measured +2.3 MB (~15 rows at the
+    # GN-chosen 256-chunk VGA tiling) over the GN model, a real OOM
+    live = (
+        _LIVE_ROWS + (10 if bi else 0) + (GR if shared_src else 0)
+        + (16 if tr else 0)
+    )
     for S in (32, 16, 8):
         src_bytes = NP * (1 + GR) * (4 if shared_src else 2 * 4 * S)
         inputs = src_bytes + 2 * 4 * S * CH * HP * W
@@ -941,7 +948,7 @@ def fused_tr_level_batch(
     B = t_all.shape[0] if shared_source else i0_flat.shape[0]
     NP, _ = _pick_tile_pixels(H, W)
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W, shared_src=shared_source)
+    tiling = _batch_tilings(H, W, shared_src=shared_source, tr=True)
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "

@@ -304,15 +304,26 @@ def test_global_ba_through_keyframe_pipeline():
         )
 
 
-def test_ba_improves_ate_on_room_scene():
-    """VERDICT r3 item 1: photometric BA must EARN its keep — on the
-    geometrically rich room fixture (utils/synthetic.render_room: 5
-    non-parallel surfaces + 2 slabs at varied depths) the default
-    windowed BA (Huber 0.1) must materially beat the pose-graph-only
-    trajectory on ATE. Measured (tools/ba_ablation.py, 96x128 / 48
-    frames): pg-only 0.021 m, BA(3) 0.0065 m — bound at 0.6x leaves 2x
-    margin. The quadratic-cost regression this pins: unrobust BA on the
-    same fixture WORSENS ATE (0.023 -> 0.042 at 6 iterations)."""
+@pytest.mark.parametrize(
+    "traj,improvement",
+    [
+        # forward: measured pg 0.021 -> BA(3) 0.0065; 0.6x leaves 2x margin
+        ("forward", 0.6),
+        # loop (VERDICT r4 item 7 — the second geometry, so a regression
+        # that only breaks loop-closure-adjacent windows is caught):
+        # measured pg 0.0307 -> BA(3) 0.0209 (0.68x); bound 0.85x
+        ("loop", 0.85),
+    ],
+)
+def test_ba_improves_ate_on_room_scene(traj, improvement):
+    """VERDICT r3 item 1 / r4 item 7: photometric BA must EARN its keep —
+    on the geometrically rich room fixture (utils/synthetic.render_room:
+    5 non-parallel surfaces + 2 slabs at varied depths) the default
+    windowed BA (Huber 0.1 + occlusion gate) must materially beat the
+    pose-graph-only trajectory on ATE, on BOTH trajectory families
+    (forward sweep; out-and-back loop with real loop closures). The
+    quadratic-cost regression this pins: unrobust BA on the same fixture
+    WORSENS ATE (0.023 -> 0.042 at 6 iterations)."""
     from tools.ba_ablation import sweep, track_scene
 
     H, W = 96, 128
@@ -321,13 +332,15 @@ def test_ba_improves_ate_on_room_scene():
         np.float32(fx), np.float32(fx),
         np.float32((W - 1) / 2), np.float32((H - 1) / 2),
     )
-    kvo, gts = track_scene("room", "forward", intr, (H, W), 48, 1.0)
+    kvo, gts = track_scene("room", traj, intr, (H, W), 48, 1.0)
+    if traj == "loop":
+        assert len(kvo.loop_closures) >= 3  # the loop must actually close
     res = sweep(
         kvo, gts,
         [("pg", dict(ba_iterations=0)), ("ba3", dict(ba_iterations=3))],
     )
     assert res["pg"] < 0.05, res
-    assert res["ba3"] < 0.6 * res["pg"], res
+    assert res["ba3"] < improvement * res["pg"], res
 
 
 def _room_kvo(n_kf=7, noise=0.008, seed=3, shape=(64, 96)):
