@@ -213,11 +213,33 @@ def prepped_sequence_eligible(
     return True
 
 
+def _use_colsplit(h: int, w: int, esm: bool) -> bool:
+    """True when level (h, w) should use the COLUMN-SPLIT layout in the
+    level-major batch kernel (ops/fused_batch.colsplit_ok + a VMEM
+    tiling): the fine level's column mask and column-mix dot shrink to
+    one full K=128 MXU pass — measured 29.7 vs 43.2 us/pair at 120x160
+    (BASELINE.md r5)."""
+    import os
+
+    from phovo_tpu.ops.fused_batch import _batch_tilings, colsplit_ok
+
+    if os.environ.get("PHOVO_COLSPLIT", "1") == "0":
+        # kill-switch, same trace-time semantics as PHOVO_LEVELMAJOR
+        # (models/base.levelmajor_enabled): toggle before first use or
+        # call jax.clear_caches()
+        return False
+    return bool(
+        colsplit_ok(h, w)
+        and _batch_tilings(h, w, esm, colsplit=True) is not None
+    )
+
+
 def prep_frame_analytic(
     intensity: jax.Array,  # (H, W) float32 0..1
     depth: jax.Array,  # (H, W) float32 meters
     intr: Intrinsics,
     config: PhovoConfig,
+    colsplit: bool = False,
 ) -> dict:
     """Per-frame products for the prepped sequence scan: for every ACTIVE
     pyramid level, (i0_flat (1, NP), geom (4|6, NP), t_all (3*HP, W)).
@@ -239,6 +261,28 @@ def prep_frame_analytic(
         if config.max_iterations[level] <= 0:
             continue
         H, W = int_p[level].shape
+        if colsplit and _use_colsplit(H, W, esm):
+            # column-split layout for the level-major batch kernel
+            from phovo_tpu.ops.fused_batch import (
+                colsplit_gather,
+                colsplit_order,
+                pack_target_colsplit,
+            )
+
+            order = jnp.asarray(colsplit_order(H, W))
+            i0f = colsplit_gather(int_p[level].reshape(1, H * W), order)
+            NP0 = -(-(H * W) // 128) * 128
+            geom_full = fused_ops.pack_geometry(
+                dep_p[level], intr.at_level(level), config.min_depth,
+                config.max_depth, NP0,
+                (gx[level], gy[level]) if esm else None,
+            )
+            geom = colsplit_gather(geom_full[:, : H * W], order)
+            t_all = pack_target_colsplit(
+                int_p[level], gx[level], gy[level]
+            )
+            out[level] = (i0f, geom, t_all)
+            continue
         NP, _ = fused_ops._pick_tile_pixels(H, W)
         i0f = fused_ops._pad_flat(int_p[level].reshape(1, H * W), NP)
         geom = fused_ops.pack_geometry(
@@ -391,6 +435,7 @@ def align_pairs_levelmajor(
     config: PhovoConfig,
     interpret: bool = False,
     sort_pairs: str = "off",
+    colsplit: bool = False,
 ) -> AlignmentResult:
     """LEVEL-major alignment of B independent pairs from per-pair packs.
 
@@ -454,7 +499,8 @@ def align_pairs_levelmajor(
             continue
         H, W = pyr.level_shape(shape, level)
         i0, geom, t_all = prep_pairs[level]
-        tiling = _batch_tilings(H, W, esm)
+        cs = colsplit and _use_colsplit(H, W, esm)
+        tiling = _batch_tilings(H, W, esm, colsplit=cs)
         spans_blocks = tiling is not None and B > tiling[0]
         if do_sort and prev_its is not None and spans_blocks:
             # reorder by the previous level's iteration counts (stable,
@@ -475,7 +521,7 @@ def align_pairs_levelmajor(
             config.lambda_steps[level],
             H=H, W=W, sampling=config.sampling, interpret=interpret,
             mix_mode=config.mix_mode, robust_loss=config.robust_loss,
-            robust_delta=config.robust_delta, esm=esm,
+            robust_delta=config.robust_delta, esm=esm, colsplit=cs,
         )
         states = st
         prev_its = its
@@ -519,14 +565,14 @@ def align_sequence_levelmajor(
     intensities = device_unit_intensity(intensities).astype(jnp.float32)
     shape = intensities.shape[1:]
     prep = jax.vmap(
-        lambda i, d: prep_frame_analytic(i, d, intr, config)
+        lambda i, d: prep_frame_analytic(i, d, intr, config, colsplit=True)
     )(intensities, depths)
     prep_pairs = {
         level: (i0f[:-1, 0, :], geom[:-1], t_all[1:])
         for level, (i0f, geom, t_all) in prep.items()
     }
     return align_pairs_levelmajor(
-        prep_pairs, shape, intr, config, interpret
+        prep_pairs, shape, intr, config, interpret, colsplit=True
     )
 
 
@@ -650,6 +696,7 @@ def track_sequence_chunk(
 def prep_frame_targets(
     intensity: jax.Array,  # (H, W) float32 0..1
     config: PhovoConfig,
+    colsplit: bool = False,
 ) -> dict:
     """Target-side per-frame products only: for every ACTIVE level the
     (3*HP, W) channel stack (pack_target_colmajor).  The keyframe-tracking
@@ -660,9 +707,17 @@ def prep_frame_targets(
     blur = tuple(config.blur_filter_sizes)
     int_p = pyr.build_pyramid(intensity, L, blur, blur_type=config.blur_type)
     gx, gy = pyr.build_gradient_pyramid(int_p, tuple(config.gradient_scales))
+    esm = config.gradient_at == "esm"
     out = {}
     for level in range(L):
         if config.max_iterations[level] <= 0:
+            continue
+        if colsplit and _use_colsplit(*int_p[level].shape, esm):
+            from phovo_tpu.ops.fused_batch import pack_target_colsplit
+
+            out[level] = pack_target_colsplit(
+                int_p[level], gx[level], gy[level]
+            )
             continue
         out[level] = fused_ops.pack_target_colmajor(
             int_p[level], gx[level], gy[level]
@@ -670,18 +725,21 @@ def prep_frame_targets(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "colsplit"))
 def prep_keyframe(
     intensity: jax.Array,  # (H, W) uint8 or float32 0..1
     depth: jax.Array,  # (H, W) float32 meters
     intr: Intrinsics,
     config: PhovoConfig,
+    colsplit: bool = False,
 ) -> dict:
     """Device-resident source packs for ONE keyframe (computed once at
     promotion, shared by every tracking chunk until the next promotion):
     dict level -> (i0 (1, NP), geom (GR, NP))."""
     i = device_unit_intensity(intensity).astype(jnp.float32)
-    full = prep_frame_analytic(i, depth.astype(jnp.float32), intr, config)
+    full = prep_frame_analytic(
+        i, depth.astype(jnp.float32), intr, config, colsplit=colsplit
+    )
     return {level: (i0f, geom) for level, (i0f, geom, _) in full.items()}
 
 
@@ -724,6 +782,7 @@ def track_pairs_levelmajor(
     config: PhovoConfig,
     init_states: jax.Array,  # (B, 6) explicit per-pair inits
     interpret: bool = False,
+    colsplit: bool = False,
 ) -> AlignmentResult:
     """LEVEL-major tracking of B frames against ONE shared keyframe.
 
@@ -763,6 +822,7 @@ def track_pairs_levelmajor(
             mix_mode=config.mix_mode, robust_loss=config.robust_loss,
             robust_delta=config.robust_delta, esm=esm,
             shared_source=True,
+            colsplit=colsplit and _use_colsplit(H, W, esm),
         )
         states = st
         diags[level] = (its, gnorm, cost, nvalid, masked)
@@ -795,9 +855,12 @@ def track_chunk_levelmajor(
     (prep_frame_targets)."""
     intensities = device_unit_intensity(intensities).astype(jnp.float32)
     shape = intensities.shape[1:]
-    tgt = jax.vmap(lambda i: prep_frame_targets(i, config))(intensities)
+    tgt = jax.vmap(
+        lambda i: prep_frame_targets(i, config, colsplit=True)
+    )(intensities)
     return track_pairs_levelmajor(
-        kf_prep, tgt, shape, intr, config, init_states, interpret
+        kf_prep, tgt, shape, intr, config, init_states, interpret,
+        colsplit=True,
     )
 
 

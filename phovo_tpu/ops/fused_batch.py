@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phovo_tpu.ops.fused import (
     BAND_TARGET,
@@ -84,6 +85,7 @@ def _check_streams_override(streams: int, interpret: bool) -> None:
 def _batch_tilings(
     H: int, W: int, esm: bool = False, bi: bool = False,
     shared_src: bool = False, tr: bool = False,
+    colsplit: bool = False,
 ):
     """(S, NT) for the sublane-batched kernel at an H x W level, or None.
 
@@ -99,14 +101,29 @@ def _batch_tilings(
     double-buffered across grid steps (same block every step), hence the
     single 4-byte factor.
     """
-    NP, NT_def = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
     CH = 6 if bi else 3
     HP = _ceil8(H)
-    nts = [
-        t for t in range(128, NP + 1, 128)
-        if NP % t == 0 and t <= NT_def
-    ]
+    if colsplit:
+        # column-split layout (colsplit_ok): pixels half-major, target
+        # stored as two 128-wide planes (TW = 256); tiles must divide the
+        # per-half count NPH and keep the banded row span
+        NP, NPH = _colsplit_pixels(H, W)
+        Wh = W // 2
+        TW = 256
+        MW = 128  # column-mask width
+        nts = [
+            t for t in range(128, NPH + 1, 128)
+            if NPH % t == 0 and (t // max(Wh, 1)) * 2 <= BAND_TARGET
+        ]
+    else:
+        NP, NT_def = _pick_tile_pixels(H, W)
+        TW = W
+        MW = W
+        nts = [
+            t for t in range(128, NP + 1, 128)
+            if NP % t == 0 and t <= NT_def
+        ]
     # depth block temporaries (+10 bi); shared-source blocks additionally
     # MATERIALIZE (S, NT) broadcasts of the GR geometry rows that the
     # per-pair layout reads as input views (measured: S=32 at 120x160
@@ -123,17 +140,73 @@ def _batch_tilings(
     )
     for S in (32, 16, 8):
         src_bytes = NP * (1 + GR) * (4 if shared_src else 2 * 4 * S)
-        inputs = src_bytes + 2 * 4 * S * CH * HP * W
+        inputs = src_bytes + 2 * 4 * S * CH * HP * TW
         if inputs > _VMEM_BUDGET:
             continue
         fitting = [
             t for t in nts
-            if inputs + 4 * (live * S * t + (W + 2 * BAND_TARGET) * t)
+            if inputs + 4 * (live * S * t + (MW + 2 * BAND_TARGET) * t)
             <= _VMEM_BUDGET
         ]
         if fitting:
             return S, max(fitting)
     return None
+
+
+def colsplit_ok(H: int, W: int) -> bool:
+    """True when the COLUMN-SPLIT fine-level layout applies (r4 analysis,
+    BASELINE.md "column-banded fine-level sampling"; implemented r5): W
+    wider than one 128-lane MXU pass but narrow enough that each
+    half-image's 128-column plane keeps >= 16 px of horizontal warp
+    margin. At the headline's 120x160 level the column mask and the
+    column-mix dot shrink from K=W=160 (two MXU passes, the second 25%
+    occupied) to ONE full K=128 pass — measured bound: a same-pixel-count
+    W=128 level costs 26.0 vs 42.6 us/pair."""
+    return 128 < W <= 224 and W % 2 == 0
+
+
+def _colsplit_pixels(H: int, W: int) -> tuple[int, int]:
+    """(NP_CS, NPH): column-split padded pixel count. Pixels are ordered
+    [left-half rows..., pad][right-half rows..., pad], each half padded
+    to NPH (multiple of 128); tiles never straddle halves."""
+    Wh = W // 2
+    NPH = -(-(H * Wh) // 128) * 128
+    return 2 * NPH, NPH
+
+
+def colsplit_order(H: int, W: int) -> np.ndarray:
+    """(NP_CS,) int32 row-major flat source index for each column-split
+    slot, -1 on padding slots (consumers zero those lanes)."""
+    NP_CS, NPH = _colsplit_pixels(H, W)
+    Wh = W // 2
+    idx = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    out = np.full(NP_CS, -1, np.int32)
+    left = idx[:, :Wh].reshape(-1)
+    right = idx[:, Wh:].reshape(-1)
+    out[: left.size] = left
+    out[NPH: NPH + right.size] = right
+    return out
+
+
+def colsplit_gather(flat, order):
+    """Gather (..., H*W) row-major flat pixel rows into the column-split
+    order; padding slots (-1) become 0."""
+    safe = jnp.clip(order, 0, flat.shape[-1] - 1)
+    g = jnp.take(flat, safe, axis=-1)
+    return jnp.where(order >= 0, g, jnp.zeros((), flat.dtype))
+
+
+def pack_target_colsplit(target_intensity, target_grad_x, target_grad_y):
+    """(3*HP, 256) two-plane channel stack for the column-split kernel:
+    plane 0 = global columns [0, 128), plane 1 = [W-128, W). The kernel
+    slices the tile's plane with a 128-aligned lane window, so the
+    column-mix dot runs ONE full K=128 MXU pass instead of two partial
+    W-deep passes (see colsplit_ok)."""
+    from phovo_tpu.ops.fused import pack_target_colmajor
+
+    t = pack_target_colmajor(target_intensity, target_grad_x, target_grad_y)
+    W = t.shape[1]
+    return jnp.concatenate([t[:, :128], t[:, W - 128:]], axis=1)
 
 
 def _batch_linearize(
@@ -144,6 +217,7 @@ def _batch_linearize(
     robust_loss, robust_delta, esm, bi,
     shared_src=False,
     row_mix="reduce",
+    colsplit=False,
 ):
     """(S,1) state vectors -> normal-equation entries as (S,1) vectors.
 
@@ -159,9 +233,13 @@ def _batch_linearize(
     SS = 1 if shared_src else S  # source stream multiplicity
     HP = _ceil8(H)
     n_tiles = NP // NT
-    tile_rows = max(1, NT // W)
+    # column-split tiles span rows of a HALF image (colsplit_ok): the
+    # banded row span halves accordingly
+    tile_rows = max(1, NT // (W // 2 if colsplit else W))
     BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
     CH = 6 if bi else 3
+    if colsplit and n_tiles < 2:
+        raise ValueError("colsplit needs >= 2 tiles (one per half)")
     cyw, syw = jnp.cos(s3), jnp.sin(s3)
     cp, sp = jnp.cos(s4), jnp.sin(s4)
     cr, sr = jnp.cos(s5), jnp.sin(s5)
@@ -226,21 +304,47 @@ def _batch_linearize(
         Jv5 = b1 * rr1 + b2 * rr2
 
         if bilinear:
-            c0 = jnp.floor(u)
+            c0g = jnp.floor(u)
             r0 = jnp.floor(v)
-            fc = u - c0
+            fc = u - c0g
             fr = v - r0
             inb = (u >= 0) & (u < W) & (v >= 0) & (v < H)
         else:
-            c0 = jnp.round(u)
+            c0g = jnp.round(u)
             r0 = jnp.round(v)
             fc = fr = None
-            inb = (c0 >= 0) & (c0 <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
+            inb = (c0g >= 0) & (c0g <= W - 1) & (r0 >= 0) & (r0 <= H - 1)
         valid = valid & inb
-        c_lo = jnp.clip(c0, 0, W - 1).astype(jnp.int32)  # (S, NT)
+        if colsplit:
+            # column-split: this tile's pixels sample from ONE 128-wide
+            # plane (left = global cols [0,128), right = [W-128, W));
+            # columns localize by the plane offset. Valid pixels whose
+            # warp leaves the plane's window are counted into masked_t
+            # (the band_fallback observability gate), like the row band.
+            plane = jnp.where(
+                jnp.int32(step) * NT >= NP // 2, jnp.int32(1), jnp.int32(0)
+            )
+            coff = (plane * (W - 128)).astype(jnp.float32)
+            c0 = c0g - coff
+            CW = 128
+            if bilinear:
+                # interior window edges mask (observability); the image's
+                # own right edge collapses the two taps onto the last
+                # column exactly like the row-major path's clip
+                win = (c0 >= 0) & (
+                    (c0 + 1 <= CW - 1) | (u >= W - 1)
+                )
+            else:
+                win = (c0 >= 0) & (c0 <= CW - 1)
+        else:
+            plane = None
+            c0 = c0g
+            CW = W
+            win = None
+        c_lo = jnp.clip(c0, 0, CW - 1).astype(jnp.int32)  # (S, NT)
         r_lo = jnp.clip(r0, 0, H - 1).astype(jnp.int32)
         if bilinear:
-            c_hi = jnp.clip(c0 + 1, 0, W - 1).astype(jnp.int32)
+            c_hi = jnp.clip(c0 + 1, 0, CW - 1).astype(jnp.int32)
             r_hi = jnp.clip(r0 + 1, 0, H - 1).astype(jnp.int32)
         else:
             c_hi = c_lo
@@ -256,23 +360,32 @@ def _batch_linearize(
             )  # (S, 1)
             band = jnp.clip(rmin, 0, HP - BAND)
             band = (band // 8) * 8
-            in_band = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+            in_sel = (r_lo >= band) & (r_hi <= band + (BAND - 1))
+            if win is not None:
+                in_sel = in_sel & win
             masked_t = jnp.sum(
-                jnp.where(valid & ~in_band, 1.0, 0.0),
+                jnp.where(valid & ~in_sel, 1.0, 0.0),
                 axis=1, keepdims=True,
             )  # (S, 1)
-            valid = valid & in_band
+            valid = valid & in_sel
             r_lo_loc = r_lo - band
             r_hi_loc = r_hi - band
         else:
             band = None
-            masked_t = jnp.zeros((S, 1), jnp.float32)
+            if win is not None:
+                masked_t = jnp.sum(
+                    jnp.where(valid & ~win, 1.0, 0.0),
+                    axis=1, keepdims=True,
+                )
+                valid = valid & win
+            else:
+                masked_t = jnp.zeros((S, 1), jnp.float32)
             r_lo_loc = r_lo
             r_hi_loc = r_hi
 
         # --- per-pair sampling: one/two-hot column mask, column-mix MXU
         # dot against pair s's banded target stack, row-mix reduce ---
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, NT), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (CW, NT), 0)
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (BAND, NT), 0)
         samp_rows = [[] for _ in range(CH)]
         for s in range(S):
@@ -289,15 +402,19 @@ def _batch_linearize(
                 )
                 colw = (iota_w == cl_s).astype(colw_dtype)
             base = s * CH * HP
+            if colsplit:
+                csl = pl.ds(pl.multiple_of(plane * 128, 128), 128)
+            else:
+                csl = slice(None)
             if BAND < H:
                 b_s = pl.multiple_of(band[s, 0], 8)
                 blocks = [
-                    t_all_ref[pl.ds(base + ch * HP + b_s, BAND), :]
+                    t_all_ref[pl.ds(base + ch * HP + b_s, BAND), csl]
                     for ch in range(CH)
                 ]
             else:
                 blocks = [
-                    t_all_ref[base + ch * HP:base + ch * HP + H, :]
+                    t_all_ref[base + ch * HP:base + ch * HP + H, csl]
                     for ch in range(CH)
                 ]
             if mix_mode == "bf16x2g":
@@ -481,6 +598,7 @@ def _fused_gn_batch_kernel(
     bi=False,
     shared_src=False,
     row_mix="reduce",
+    colsplit=False,
 ):
     """S whole GN levels advanced in lockstep, batch on the sublane axis.
 
@@ -504,7 +622,7 @@ def _fused_gn_batch_kernel(
         i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
         S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta, esm=esm, bi=bi,
-        shared_src=shared_src, row_mix=row_mix,
+        shared_src=shared_src, row_mix=row_mix, colsplit=colsplit,
     )
 
     def active(it, gnorm):
@@ -583,6 +701,7 @@ def fused_gn_level_batch(
     depth_gains=None,  # (B,) per-pair depth gains -> bi-objective mode
     shared_source: bool = False,
     row_mix: str | None = None,
+    colsplit: bool = False,
 ):
     """Run ONE whole GN pyramid level for B independent pairs, S pairs per
     grid block (sublane-batched kernel above).  B is padded to a multiple
@@ -605,16 +724,25 @@ def fused_gn_level_batch(
     bi = depth_gains is not None
     if bi and esm:
         raise ValueError("gradient_at='esm' is photometric-only")
+    if colsplit and bi:
+        raise ValueError("colsplit is photometric-only (3-channel stacks)")
+    if colsplit and not colsplit_ok(H, W):
+        raise ValueError(f"colsplit_ok({H}, {W}) is False")
     if row_mix is None:
         import os
 
         row_mix = os.environ.get("PHOVO_ROWMIX", "reduce")
     CH = 6 if bi else 3
     B = t_all.shape[0] if shared_source else i0_flat.shape[0]
-    NP, _ = _pick_tile_pixels(H, W)
+    if colsplit:
+        NP, _NPH = _colsplit_pixels(H, W)
+    else:
+        NP, _ = _pick_tile_pixels(H, W)
     GR = 6 if esm else 4
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W, esm, bi, shared_src=shared_source)
+    tiling = _batch_tilings(
+        H, W, esm, bi, shared_src=shared_source, colsplit=colsplit
+    )
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
@@ -653,7 +781,8 @@ def fused_gn_level_batch(
             .transpose(0, 2, 1, 3)
             .reshape(NB * GR * S, NP)
         )
-    t_k = jnp.asarray(t_all).reshape(NB * S * CH * HP, W)
+    TW = 256 if colsplit else W
+    t_k = jnp.asarray(t_all).reshape(NB * S * CH * HP, TW)
     # states row: [state (6), 0, gain] — slot 7 carries the per-pair
     # bi-objective depth gain (state-invariant, read once by the kernel)
     gains_col = (
@@ -686,7 +815,7 @@ def fused_gn_level_batch(
         lambda_step=float(lambda_step),
         mix_mode=mix_mode, robust_loss=robust_loss,
         robust_delta=float(robust_delta), esm=esm, bi=bi,
-        shared_src=shared_source, row_mix=row_mix,
+        shared_src=shared_source, row_mix=row_mix, colsplit=colsplit,
     )
     grid = (NB,)
     if shared_source:
@@ -726,7 +855,7 @@ def fused_gn_level_batch(
             i0_spec,
             geom_spec,
             pl.BlockSpec(
-                (S * CH * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (S * CH * HP, TW), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(

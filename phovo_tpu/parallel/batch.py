@@ -174,7 +174,7 @@ def align_sequences_levelmajor(
     )
     flat_d = jnp.asarray(depths, jnp.float32).reshape(S * T, *shape)
     prep = jax.vmap(
-        lambda i, d: prep_frame_analytic(i, d, intr, config)
+        lambda i, d: prep_frame_analytic(i, d, intr, config, colsplit=True)
     )(flat_i, flat_d)
     B = S * (T - 1)
     prep_pairs = {}
@@ -187,7 +187,9 @@ def align_sequences_levelmajor(
             B, *t_all.shape[1:]
         )
         prep_pairs[level] = (i0s, geoms, ts)
-    res = align_pairs_levelmajor(prep_pairs, shape, intr, config, interpret)
+    res = align_pairs_levelmajor(
+        prep_pairs, shape, intr, config, interpret, colsplit=True
+    )
     return jax.tree.map(
         lambda a: a.reshape(S, T - 1, *a.shape[1:]), res
     )

@@ -302,8 +302,8 @@ def test_levelmajor_sort_pairs_bit_identical(intr, small_pair, monkeypatch):
     # force tiny blocks (S=2) so B=6 spans 3 blocks even in interpret mode
     orig = FB._batch_tilings
 
-    def tiny(H, W, esm=False, bi=False, shared_src=False):
-        t = orig(H, W, esm, bi, shared_src)
+    def tiny(H, W, esm=False, bi=False, shared_src=False, **kw):
+        t = orig(H, W, esm, bi, shared_src, **kw)
         return None if t is None else (2, t[1])
 
     monkeypatch.setattr(FB, "_batch_tilings", tiny)

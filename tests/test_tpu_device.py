@@ -648,7 +648,7 @@ def test_track_chunk_levelmajor_on_device():
     Ds = jnp.asarray(np.stack(frames_d))
     B = 6
     kf_prep = prep_keyframe(
-        jnp.asarray(kf_I), jnp.asarray(kf_D), intr, cfg
+        jnp.asarray(kf_I), jnp.asarray(kf_D), intr, cfg, colsplit=True
     )
     lm = jax.block_until_ready(
         track_chunk_levelmajor(
@@ -656,12 +656,14 @@ def test_track_chunk_levelmajor_on_device():
         )
     )
     # (a) replicated per-pair packs through the NON-shared batch kernel
+    # (colsplit layouts on both sides, like the production paths)
     kfp = prep_frame_analytic(
-        jnp.asarray(kf_I), jnp.asarray(kf_D, jnp.float32), intr, cfg
+        jnp.asarray(kf_I), jnp.asarray(kf_D, jnp.float32), intr, cfg,
+        colsplit=True,
     )
-    tgtp = jax.vmap(lambda i, d: prep_frame_analytic(i, d, intr, cfg))(
-        Is, Ds.astype(jnp.float32)
-    )
+    tgtp = jax.vmap(
+        lambda i, d: prep_frame_analytic(i, d, intr, cfg, colsplit=True)
+    )(Is, Ds.astype(jnp.float32))
     prep_pairs = {
         lvl: (
             jnp.concatenate([kfp[lvl][0]] * B, 0),
@@ -671,7 +673,7 @@ def test_track_chunk_levelmajor_on_device():
         for lvl in kfp
     }
     batch = jax.block_until_ready(
-        align_pairs_levelmajor(prep_pairs, shape, intr, cfg)
+        align_pairs_levelmajor(prep_pairs, shape, intr, cfg, colsplit=True)
     )
     np.testing.assert_array_equal(
         np.asarray(lm.state), np.asarray(batch.state)
