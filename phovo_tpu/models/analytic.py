@@ -228,9 +228,13 @@ def _use_colsplit(h: int, w: int, esm: bool) -> bool:
         # (models/base.levelmajor_enabled): toggle before first use or
         # call jax.clear_caches()
         return False
+    # BOTH kernel families must be able to consume the layout: the prep
+    # (prep_frame_analytic/prep_frame_targets) packs per level with this
+    # same predicate, and the packs feed GN and TR batch kernels alike
     return bool(
         colsplit_ok(h, w)
         and _batch_tilings(h, w, esm, colsplit=True) is not None
+        and _batch_tilings(h, w, esm, colsplit=True, tr=True) is not None
     )
 
 

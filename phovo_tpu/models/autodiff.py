@@ -222,7 +222,7 @@ def align_sequence_autodiff_levelmajor(
         if config.gradient_at == "esm" else config
     )
     prep = jax.vmap(
-        lambda i, d: prep_frame_analytic(i, d, intr, prep_cfg)
+        lambda i, d: prep_frame_analytic(i, d, intr, prep_cfg, colsplit=True)
     )(intensities, depths)
 
     L = config.num_levels
@@ -237,6 +237,8 @@ def align_sequence_autodiff_levelmajor(
             diags[level] = zeros
             continue
         H, W = pyr.level_shape(shape, level)
+        from phovo_tpu.models.analytic import _use_colsplit
+
         i0f, geom, t_all = prep[level]
         st, its, cost, gnorm, radius, nvalid, masked = fused_tr_level_batch(
             i0f[:-1, 0, :],
@@ -248,6 +250,7 @@ def align_sequence_autodiff_levelmajor(
             H=H, W=W, sampling="bilinear", interpret=interpret,
             mix_mode=config.mix_mode, robust_loss=config.robust_loss,
             robust_delta=config.robust_delta,
+            colsplit=_use_colsplit(H, W, False),
         )
         states = st
         diags[level] = (its, gnorm, cost, nvalid, masked)
@@ -323,7 +326,9 @@ def track_chunk_levelmajor_tr(
         _dc.replace(config, gradient_at="warped")
         if config.gradient_at == "esm" else config
     )
-    tgt = jax.vmap(lambda i: prep_frame_targets(i, prep_cfg))(intensities)
+    tgt = jax.vmap(
+        lambda i: prep_frame_targets(i, prep_cfg, colsplit=True)
+    )(intensities)
     B = intensities.shape[0]
     L = config.num_levels
     states = jnp.asarray(init_states, jnp.float32).reshape(B, 6)
@@ -337,6 +342,8 @@ def track_chunk_levelmajor_tr(
             diags[level] = zeros
             continue
         H, W = pyr.level_shape(shape, level)
+        from phovo_tpu.models.analytic import _use_colsplit
+
         i0, geom = kf_prep[level]
         st, its, cost, gnorm, radius, nvalid, masked = fused_tr_level_batch(
             i0, geom, tgt[level],
@@ -347,6 +354,7 @@ def track_chunk_levelmajor_tr(
             mix_mode=config.mix_mode, robust_loss=config.robust_loss,
             robust_delta=config.robust_delta,
             shared_source=True,
+            colsplit=_use_colsplit(H, W, False),
         )
         states = st
         diags[level] = (its, gnorm, cost, nvalid, masked)

@@ -430,12 +430,11 @@ class KeyframeVisualOdometry:
             # velocity extrapolation)
             nonlocal kf_prep, kf_prep_index
             if kf.index != kf_prep_index:
-                # the analytic batch kernel consumes column-split packs at
-                # eligible fine levels; the TR kernel does not support
-                # colsplit yet
+                # both batch kernels consume column-split packs at
+                # eligible fine levels (r5)
                 kf_prep = prep_keyframe(
                     kf.dev_intensity, kf.dev_depth, intr, prep_cfg,
-                    colsplit=not is_tr,
+                    colsplit=True,
                 )
                 kf_prep_index = kf.index
             pad = chunk - len(buf)

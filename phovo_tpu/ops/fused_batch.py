@@ -903,6 +903,7 @@ def _fused_tr_batch_kernel(
     robust_loss="none",
     robust_delta=0.1,
     shared_src=False,
+    colsplit=False,
 ):
     """S whole trust-region LM levels in lockstep (the batched analog of
     ops/fused.py _run_tr_loop — Ceres radius rule, Jacobi-scaled LM step,
@@ -916,7 +917,7 @@ def _fused_tr_batch_kernel(
         i0_ref=i0_ref, geom_ref=geom_ref, t_all_ref=t_all_ref,
         S=S, H=H, W=W, NT=NT, NP=NP, bilinear=bilinear, mix_mode=mix_mode,
         robust_loss=robust_loss, robust_delta=robust_delta, esm=False,
-        bi=False, shared_src=shared_src,
+        bi=False, shared_src=shared_src, colsplit=colsplit,
     )
 
     def flat(A, b, cost, nvalid):
@@ -1066,6 +1067,7 @@ def fused_tr_level_batch(
     robust_delta: float = 0.1,
     streams: int | None = None,
     shared_source: bool = False,
+    colsplit: bool = False,
 ):
     """Run ONE whole trust-region LM level for B independent pairs, S per
     grid block.  Per-pair semantics identical to ops/fused.py
@@ -1075,9 +1077,16 @@ def fused_tr_level_batch(
     shared_source: i0_flat (1, NP) + geom (4, NP) shared by all B pairs
     (keyframe tracking; see fused_gn_level_batch)."""
     B = t_all.shape[0] if shared_source else i0_flat.shape[0]
-    NP, _ = _pick_tile_pixels(H, W)
+    if colsplit:
+        if not colsplit_ok(H, W):
+            raise ValueError(f"colsplit_ok({H}, {W}) is False")
+        NP, _NPH = _colsplit_pixels(H, W)
+    else:
+        NP, _ = _pick_tile_pixels(H, W)
     HP = _ceil8(H)
-    tiling = _batch_tilings(H, W, shared_src=shared_source, tr=True)
+    tiling = _batch_tilings(
+        H, W, shared_src=shared_source, tr=True, colsplit=colsplit
+    )
     if tiling is None:
         raise ValueError(
             f"no VMEM-fitting batch tiling at {H}x{W}; use the per-pair "
@@ -1110,7 +1119,8 @@ def fused_tr_level_batch(
             .transpose(0, 2, 1, 3)
             .reshape(NB * 4 * S, NP)
         )
-    t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, W)
+    TW = 256 if colsplit else W
+    t_k = jnp.asarray(t_all).reshape(NB * S * 3 * HP, TW)
     st_k = jnp.concatenate(
         [
             jnp.asarray(init_states, jnp.float32).reshape(NB * S, 6),
@@ -1132,6 +1142,7 @@ def fused_tr_level_batch(
         bilinear=(sampling == "bilinear"), opts=opts,
         mix_mode=mix_mode, robust_loss=robust_loss,
         robust_delta=float(robust_delta), shared_src=shared_source,
+        colsplit=colsplit,
     )
     if shared_source:
         i0_spec = pl.BlockSpec(
@@ -1164,7 +1175,7 @@ def fused_tr_level_batch(
             i0_spec,
             geom_spec,
             pl.BlockSpec(
-                (S * 3 * HP, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (S * 3 * HP, TW), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
