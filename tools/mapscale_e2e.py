@@ -153,7 +153,8 @@ def run_pipeline(args, pg_solver: str, out: str) -> dict:
         "rpe_m": r"RPE rmse: ([\d.]+) m",
         "rpe_deg": r"/ ([\d.]+) deg",
         "incr_solves": r"incremental: (\d+) solves",
-        "incr_mean_s": r"latency mean ([\d.]+) s",
+        "incr_min_s": r"latency min ([\d.]+) s",
+        "incr_mean_s": r"mean ([\d.]+) s / p90",
         "incr_p90_s": r"p90 ([\d.]+) s",
         "incr_max_s": r"max ([\d.]+) s",
         "incr_first_s": r"first ([\d.]+) s",
