@@ -341,3 +341,69 @@ def test_levelmajor_sort_pairs_bit_identical(intr, small_pair, monkeypatch):
             np.asarray(getattr(on, f)), np.asarray(getattr(off, f)),
             err_msg=f,
         )
+
+
+@pytest.mark.parametrize("sampling", ["nearest", "bilinear"])
+def test_colsplit_matches_rowmajor(intr, small_pair, sampling):
+    """Column-split fine-level layout (r5): half-major pixel packing + two
+    128-wide target planes must reproduce the row-major layout's results
+    (same columns sampled, same math — only the MXU contraction shrinks
+    to one full K=128 pass). small_pair is 96x128 (W=128, not eligible),
+    so build a 120x160 pair where colsplit_ok holds."""
+    import jax
+
+    import phovo_tpu.ops.fused_batch as FB
+    from phovo_tpu.ops import fused as F
+    from phovo_tpu.ops import pyramid as pyr
+    from phovo_tpu.ops.camera import Intrinsics
+    from phovo_tpu.utils.synthetic import make_pair
+
+    H, W = 120, 160
+    intr2 = Intrinsics(
+        np.float32(W), np.float32(W), np.float32(W / 2 - 0.5),
+        np.float32(H / 2 - 0.5),
+    )
+    assert FB.colsplit_ok(H, W)
+    I0, D0, I1, D1, _ = make_pair(intr2, shape=(H, W))
+    NP, _ = F._pick_tile_pixels(H, W)
+    i0f = F._pad_flat(jnp.asarray(I0).reshape(1, H * W), NP)
+    geom = F.pack_geometry(jnp.asarray(D0), intr2, 0.3, 5.0, NP)
+    I1j = jnp.asarray(I1)
+    gx1 = pyr.scharr(I1j, "x", 0.0625)
+    gy1 = pyr.scharr(I1j, "y", 0.0625)
+    t_rm = F.pack_target_colmajor(I1j, gx1, gy1)
+    order = jnp.asarray(FB.colsplit_order(H, W))
+    i0_cs = FB.colsplit_gather(jnp.asarray(I0).reshape(1, H * W), order)
+    g_full = F.pack_geometry(
+        jnp.asarray(D0), intr2, 0.3, 5.0, -(-(H * W) // 128) * 128
+    )
+    g_cs = FB.colsplit_gather(g_full[:, : H * W], order)
+    t_cs = FB.pack_target_colsplit(I1j, gx1, gy1)
+    B = 3
+    inits = jnp.asarray(
+        np.array(
+            [[0, 0, 0, 0, 0, 0],
+             [0.01, -0.005, 0.008, 0.004, -0.003, 0.002],
+             [0.02, 0, 0, 0, 0.004, 0]],
+            np.float32,
+        )
+    )
+    a = jax.block_until_ready(FB.fused_gn_level_batch(
+        jnp.concatenate([i0f] * B, 0), jnp.stack([geom] * B),
+        jnp.stack([t_rm] * B), intr2, inits, 0.3, 5.0, 4, 0.0, 1.0,
+        H=H, W=W, sampling=sampling, interpret=True, streams=1,
+        mix_mode="f32",
+    ))
+    b = jax.block_until_ready(FB.fused_gn_level_batch(
+        jnp.concatenate([i0_cs] * B, 0), jnp.stack([g_cs] * B),
+        jnp.stack([t_cs] * B), intr2, inits, 0.3, 5.0, 4, 0.0, 1.0,
+        H=H, W=W, sampling=sampling, interpret=True, streams=1,
+        mix_mode="f32", colsplit=True,
+    ))
+    np.testing.assert_allclose(
+        np.asarray(a[0]), np.asarray(b[0]), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    # identical valid-pixel counts: no pixel silently lost to the planes
+    # at these (margin-respecting) motions
+    np.testing.assert_allclose(np.asarray(a[4]), np.asarray(b[4]))
