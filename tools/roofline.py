@@ -80,7 +80,7 @@ def per_frame_model(chunked: bool = True):
     )
 
 
-def measure(chunk: int = 64, repeats: int = 10) -> float:
+def measure(chunk: int = 256, repeats: int = 10) -> float:
     """Achieved device-side per-frame seconds at the deployment shape."""
     import time
 
@@ -96,7 +96,11 @@ def measure(chunk: int = 64, repeats: int = 10) -> float:
 
     cfg = PhovoConfig(
         num_levels=5, blur_filter_sizes=(0,) * 5, gradient_scales=(0.0625,) * 5,
-        max_iterations=tuple(reversed(SCHEDULE)), lambda_steps=(1.0,) * 5,
+        # PhovoConfig.max_iterations is indexed by level with 0 = FINEST —
+        # the same orientation as SCHEDULE (fine -> coarse), so no
+        # reversal (r5 fix: reversed() ran 50 iterations at full VGA and
+        # the "achieved" figure measured a schedule nobody ships)
+        max_iterations=tuple(SCHEDULE), lambda_steps=(1.0,) * 5,
         min_gradient_norms=(0.0,) * 5, sampling="nearest", mix_mode="bf16x2g",
     )
     I0, D0, I1, D1, _ = make_pair(TUM_FR1, shape=(H, W))
