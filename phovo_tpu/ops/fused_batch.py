@@ -66,6 +66,13 @@ except Exception:  # pragma: no cover
 # (30x40 S=32/NT=1280, 60x80 S=32/NT=1280, 120x160 S=16/NT=2432).
 _VMEM_BUDGET = 27_000_000
 _LIVE_ROWS = 30  # conservative count of live (S, NT) temporaries
+# minimum level height for the banded row window in the BATCH kernel
+# (below it the full-band static slices win; measured at 60x80 — see
+# BASELINE r5 band notes). Module constant so A/B probes can flip it.
+_BAND_MIN_H = 48
+# colsplit row-band floor: 24 = tile span + 8-alignment slop + >=8 rows of
+# vertical-motion/parallax margin at the shipped tilings
+_COLSPLIT_BAND_FLOOR = 24
 
 
 def _check_streams_override(streams: int, interpret: bool) -> None:
@@ -236,7 +243,27 @@ def _batch_linearize(
     # column-split tiles span rows of a HALF image (colsplit_ok): the
     # banded row span halves accordingly
     tile_rows = max(1, NT // (W // 2 if colsplit else W))
-    BAND = BAND_TARGET if (H > 48 and tile_rows * 2 <= BAND_TARGET) else H
+    if colsplit:
+        # colsplit tiles span few source rows, so the row band can shrink
+        # to (tile span + 8-alignment slop + >=8 rows of vertical-motion
+        # margin), floored at 24: the sampling dot's M axis drops from
+        # 3*32=96 to 3*24=72 rows (measured +15% headline; a BAND of 16
+        # would leave ~1 row of worst-case margin — masks fire on normal
+        # motion)
+        BAND_w = max(_COLSPLIT_BAND_FLOOR, _ceil8(tile_rows + 8) + 8)
+        BAND = BAND_w if (H > 48 and BAND_w < H) else H
+    else:
+        # banding pays only when it saves MULTIPLE MXU passes AND the
+        # static row slices it forgoes are large: at 60x80 the full-band
+        # kernel (static per-stream slices, no rmin reduce, no band
+        # masking) measured FASTER than BAND=32 (+9% headline) — the
+        # banded window only wins from H ~96 up, where full-band would be
+        # a 3+-pass dot M
+        BAND = (
+            BAND_TARGET
+            if (H > _BAND_MIN_H and tile_rows * 2 <= BAND_TARGET)
+            else H
+        )
     CH = 6 if bi else 3
     if colsplit and n_tiles < 2:
         raise ValueError("colsplit needs >= 2 tiles (one per half)")
