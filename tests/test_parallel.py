@@ -329,3 +329,45 @@ def test_chunked_server_levelmajor_route_matches_default(intr, small_pair):
     )
     np.testing.assert_allclose(np.asarray(ci_lm), np.asarray(ci_off))
     np.testing.assert_allclose(np.asarray(cd_lm), np.asarray(cd_off))
+
+
+def test_levelmajor_sharded_colsplit_matches_single_device():
+    """The COLUMN-SPLIT fine-level layout composed with shard_map on the
+    virtual mesh (r5): a 64x160 level-0 shape engages colsplit
+    (colsplit_ok: 128 < W <= 224) inside each shard's level-major batch;
+    sharded must equal the 1-device run."""
+    from phovo_tpu.models.analytic import _use_colsplit
+    from phovo_tpu.parallel.batch import (
+        align_sequences_levelmajor,
+        align_sequences_levelmajor_sharded,
+    )
+    from phovo_tpu.utils.synthetic import make_pair
+    from phovo_tpu.ops.camera import Intrinsics
+
+    H, W = 64, 160
+    intr2 = Intrinsics(
+        np.float32(W), np.float32(W), np.float32(W / 2 - 0.5),
+        np.float32(H / 2 - 0.5),
+    )
+    assert _use_colsplit(H, W, False)
+    cfg = PhovoConfig(
+        num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
+        max_iterations=(3, 3), lambda_steps=(1.0, 1.0),
+        min_gradient_norms=(1e-10,) * 2, sampling="nearest",
+    )
+    I0, D0, I1, D1, _ = make_pair(intr2, shape=(H, W))
+    S, T = 2, 3
+    Is = jnp.asarray(np.stack([np.stack([I0, I1, I0])] * S))
+    Ds = jnp.asarray(np.stack([np.stack([D0, D1, D0])] * S))
+    Is = Is + jnp.arange(S, dtype=jnp.float32)[:, None, None, None] * 0.001
+    mesh = make_mesh(2, pixel_parallel=1)
+    sh = align_sequences_levelmajor_sharded(
+        Is, Ds, intr2, cfg, mesh, interpret=True
+    )
+    single = align_sequences_levelmajor(Is, Ds, intr2, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(sh.state), np.asarray(single.state), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sh.iterations), np.asarray(single.iterations)
+    )
