@@ -407,3 +407,14 @@ def test_colsplit_matches_rowmajor(intr, small_pair, sampling):
     # identical valid-pixel counts: no pixel silently lost to the planes
     # at these (margin-respecting) motions
     np.testing.assert_allclose(np.asarray(a[4]), np.asarray(b[4]))
+
+
+def test_colsplit_escape_hatch(monkeypatch):
+    """PHOVO_COLSPLIT=0 must disable the column-split routing (same
+    trace-time semantics as PHOVO_LEVELMAJOR: set before first use or
+    clear jit caches)."""
+    from phovo_tpu.models.analytic import _use_colsplit
+
+    assert _use_colsplit(120, 160, False)
+    monkeypatch.setenv("PHOVO_COLSPLIT", "0")
+    assert not _use_colsplit(120, 160, False)
