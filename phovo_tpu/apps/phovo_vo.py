@@ -678,7 +678,8 @@ def _run_keyframe_mode(args, vo, seq) -> int:
         from phovo_tpu.models.autodiff import tr_track_levelmajor_eligible
 
         if hasattr(seq, "height") and not tr_track_levelmajor_eligible(
-            vo.config, (seq.height, seq.width), "linearizer"
+            vo.config, (seq.height, seq.width),
+            getattr(vo, "jacobian_mode", "linearizer"),
         ):
             ignored.append("--chunk (ceres: no level-major tiling)")
             chunked = False

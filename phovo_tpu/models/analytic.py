@@ -529,15 +529,18 @@ def align_pairs_levelmajor(
         )
         states = st
         prev_its = its
-        diags[level] = (its, gnorm, cost, nvalid, masked)
+        # diagnostics are stored in ORIGINAL pair order at record time:
+        # cur_idx evolves across levels, so a single final inverse would
+        # mis-permute levels recorded under an earlier (or identity)
+        # ordering (review r5 finding; states stay in slot order for the
+        # next level's kernel and are inverted once at the end)
+        d = (its, gnorm, cost, nvalid, masked)
+        if cur_idx is not None:
+            inv_now = jnp.argsort(cur_idx)
+            d = tuple(x[inv_now] for x in d)
+        diags[level] = d
     if cur_idx is not None:
-        # scatter slot order back to original pair order
-        inv = jnp.argsort(cur_idx)
-        states = states[inv]
-        diags = [
-            tuple(d[k][inv] for k in range(5)) if d is not zeros else d
-            for d in diags
-        ]
+        states = states[jnp.argsort(cur_idx)]
     return AlignmentResult(
         state=states,
         iterations=jnp.stack([d[0] for d in diags], axis=1),
@@ -794,10 +797,13 @@ def track_pairs_levelmajor(
     (shared_source kernel mode) instead of being replicated B times; all B
     frames' coarsest levels advance in lockstep, then the next level, and
     so on.  Unlike align_pairs_levelmajor the per-pair init states are
-    explicit — the caller supplies constant-velocity predictions in place
-    of the serial scan's warm-start chain (VERDICT r4 item 1: all frames
-    of a chunk track against the SAME keyframe, so the chain was an
-    initialization aid, not a semantic requirement)."""
+    explicit — the caller supplies per-pair inits (production: every
+    frame anchored at the LAST SOLVED state; a constant-velocity
+    extrapolation chain was refuted by measurement, see
+    models/keyframe.py run_chunked) in place of the serial scan's
+    warm-start chain (VERDICT r4 item 1: all frames of a chunk track
+    against the SAME keyframe, so the chain was an initialization aid,
+    not a semantic requirement)."""
     from phovo_tpu.ops.fused_batch import fused_gn_level_batch
 
     esm = config.gradient_at == "esm"

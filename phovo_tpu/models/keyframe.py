@@ -274,7 +274,9 @@ class KeyframeVisualOdometry:
         per-pixel work. Promoted keyframes are converted once at promotion.
 
         levelmajor: 'auto' routes chunks through the LEVEL-major
-        shared-source batch kernel with constant-velocity inits whenever
+        shared-source batch kernel — every frame initialized at the last
+        SOLVED state (anchored; constant-velocity extrapolation refuted,
+        see the routing note in the body) — whenever
         track_levelmajor_eligible passes (the fast path — see track_lm
         below), 'off' forces the serial warm-start scan
         (track_sequence_chunk), 'interpret' forces the level-major path in

@@ -253,12 +253,11 @@ def _batch_linearize(
         BAND_w = max(_COLSPLIT_BAND_FLOOR, _ceil8(tile_rows + 8) + 8)
         BAND = BAND_w if (H > 48 and BAND_w < H) else H
     else:
-        # banding pays only when it saves MULTIPLE MXU passes AND the
-        # static row slices it forgoes are large: at 60x80 the full-band
-        # kernel (static per-stream slices, no rmin reduce, no band
-        # masking) measured FASTER than BAND=32 (+9% headline) — the
-        # banded window only wins from H ~96 up, where full-band would be
-        # a 3+-pass dot M
+        # the banded window wins down to 60x80 (in-process A/B,
+        # BASELINE.md r5 band notes: banded 10.5k vs full-band 9.1k fps
+        # headline — an earlier cross-process composite suggesting
+        # full-band was session drift); _BAND_MIN_H stays at the r4
+        # threshold and exists so the A/B remains reproducible
         BAND = (
             BAND_TARGET
             if (H > _BAND_MIN_H and tile_rows * 2 <= BAND_TARGET)
@@ -355,11 +354,16 @@ def _batch_linearize(
             c0 = c0g - coff
             CW = 128
             if bilinear:
-                # interior window edges mask (observability); the image's
-                # own right edge collapses the two taps onto the last
-                # column exactly like the row-major path's clip
+                # interior window edges mask (observability); PLANE 1's
+                # window right edge IS the image right edge, where the
+                # two taps collapse onto the last column exactly like the
+                # row-major path's clip. The carve-out must NOT apply to
+                # plane 0 (its window edge at global col 127 is interior:
+                # a left-half pixel warping to u >= W-1 would otherwise
+                # silently sample col 127 instead of masking).
                 win = (c0 >= 0) & (
-                    (c0 + 1 <= CW - 1) | (u >= W - 1)
+                    (c0 + 1 <= CW - 1)
+                    | ((plane == 1) & (u >= W - 1))
                 )
             else:
                 win = (c0 >= 0) & (c0 <= CW - 1)
@@ -758,7 +762,12 @@ def fused_gn_level_batch(
     if row_mix is None:
         import os
 
+        # trace-time read through jit-cached wrappers, like
+        # PHOVO_LEVELMAJOR (models/base.levelmajor_enabled): set before
+        # first use, or jax.clear_caches() to toggle mid-process
         row_mix = os.environ.get("PHOVO_ROWMIX", "reduce")
+    if row_mix not in ("reduce", "onesdot"):
+        raise ValueError(f"row_mix={row_mix!r} (expected reduce|onesdot)")
     CH = 6 if bi else 3
     B = t_all.shape[0] if shared_source else i0_flat.shape[0]
     if colsplit:

@@ -296,8 +296,12 @@ def test_levelmajor_sort_pairs_bit_identical(intr, small_pair, monkeypatch):
     cfg = PhovoConfig(
         num_levels=2, blur_filter_sizes=(0, 0), gradient_scales=(0.0625,) * 2,
         max_iterations=(6, 8), lambda_steps=(1.0, 1.0),
-        # early exit ON so iteration counts differ across pairs
-        min_gradient_norms=(5.0, 5.0), sampling="nearest", mix_mode="f32",
+        # early exit ON with a COARSE-level threshold that actually fires
+        # at different counts across these pairs — the coarsest level's
+        # iterations drive the sort, so spread there makes the permutation
+        # non-identity (review r5 finding: the earlier fixture had
+        # all-equal coarse counts and never exercised the scatter)
+        min_gradient_norms=(5.0, 10.0), sampling="nearest", mix_mode="f32",
     )
     # force tiny blocks (S=2) so B=6 spans 3 blocks even in interpret mode
     orig = FB._batch_tilings
@@ -334,7 +338,9 @@ def test_levelmajor_sort_pairs_bit_identical(intr, small_pair, monkeypatch):
     off = jax.block_until_ready(align_pairs_levelmajor(
         prep_pairs, shape, intr, cfg, interpret=True, sort_pairs="off"
     ))
-    # iteration counts must differ across pairs for the test to mean much
+    # iteration counts must differ across pairs AT THE DRIVING (coarsest)
+    # level so the sort permutation is non-identity
+    assert len(set(np.asarray(off.iterations)[:, 1].tolist())) > 1
     assert len(set(np.asarray(off.iterations)[:, 0].tolist())) > 1
     for f in on._fields:
         np.testing.assert_array_equal(
